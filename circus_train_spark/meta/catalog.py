@@ -1,0 +1,345 @@
+"""TokenTable — the Iceberg-style table abstraction over Parquet + manifests.
+
+Layout under one table root:
+
+```
+<root>/data/<event-id>/_part=<source>/part-*.parquet   # immutable data files
+<root>/metadata/manifests/manifest-*.parquet            # file-entry lists
+<root>/metadata/snapshots/snap-<id>.json                # snapshot descriptors
+<root>/metadata/version-hint.text                       # current snapshot ptr
+<root>/lineage/<op>.jsonl                               # checkpoint log
+```
+
+Key properties:
+
+- **data files are immutable and self-contained** — the ``source`` partition
+  column is stored *inside* every Parquet file; directory names are a write
+  convenience, never parsed on read (manifests carry partition values, as in
+  Iceberg). This is what lets maintenance ops move/regroup files freely while
+  scans stay byte-identical.
+- **scans are manifest-planned**: filter the manifest DataFrame (partition
+  values + per-file min/max stats) first, then read only surviving files with
+  an explicit schema — partition pruning and stats-based file skipping happen
+  before a single data byte is read, mirroring Circus Train's pushdown of
+  partition predicates to the metastore
+  (``core/HiveEndpoint.java:147-174``, ``README.md:239-246``).
+- **snapshot isolation**: readers resolve a snapshot id once and only ever
+  read files listed by that snapshot; commits swap an atomic pointer
+  (see ``snapshot.py``).
+
+Scale notes (designed for ~10^12 rows / ~10^6 files):
+- manifests are Parquet and are *read* distributed (``spark.read.parquet``);
+  only per-commit entry deltas pass through the driver (same posture as
+  Iceberg's driver-side commit path);
+- data reads pass an explicit file list + schema, so no schema inference or
+  directory listing storms;
+- appends write with ``partitionBy`` after an explicit repartition so file
+  count and size are controlled by the caller.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Iterable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from circus_train_spark.ids import new_event_id
+from circus_train_spark.meta import schema as S
+from circus_train_spark.meta.lineage import LineageLog
+from circus_train_spark.meta.snapshot import Snapshot, SnapshotLog
+
+_ARROW_MANIFEST_SCHEMA = pa.schema(
+    [
+        pa.field("file_path", pa.string(), False),
+        pa.field("partition", pa.string()),
+        pa.field("file_size", pa.int64(), False),
+        pa.field("n_rows", pa.int64(), False),
+        pa.field("min_doc_id", pa.string()),
+        pa.field("max_doc_id", pa.string()),
+        pa.field("min_n_tok", pa.int32()),
+        pa.field("max_n_tok", pa.int32()),
+        pa.field("min_zkey", pa.int64()),
+        pa.field("max_zkey", pa.int64()),
+        pa.field("xor_digest", pa.int64()),
+        pa.field("added_snapshot_id", pa.int64(), False),
+    ]
+)
+
+
+def _strip_uri(p: str) -> str:
+    if p.startswith("file:"):
+        p = p[len("file:") :]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+class TokenTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self.log = SnapshotLog(self.root)
+        self.lineage = LineageLog(self.root)
+        self.data_dir = os.path.join(self.root, S.DATA_DIR)
+        self.manifest_dir = os.path.join(self.root, S.MANIFEST_DIR)
+
+    # ------------------------------------------------------------------ DDL
+    @classmethod
+    def create(cls, spark: SparkSession, root: str) -> "TokenTable":
+        t = cls(spark, root)
+        if t.log.current_id() is not None:
+            raise FileExistsError(f"table already exists at {root}")
+        os.makedirs(t.data_dir, exist_ok=True)
+        os.makedirs(t.manifest_dir, exist_ok=True)
+        t.log.commit(
+            expected_parent_id=None,
+            event_id=new_event_id(),
+            operation="create",
+            manifests=[],
+            summary={"schema": S.DATA_SCHEMA.json()},
+        )
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "TokenTable":
+        t = cls(spark, root)
+        if t.log.current_id() is None:
+            raise FileNotFoundError(f"no table at {root}")
+        return t
+
+    # ------------------------------------------------------------ snapshots
+    def current_snapshot(self) -> Snapshot:
+        snap = self.log.current()
+        if snap is None:
+            raise FileNotFoundError(f"no table at {self.root}")
+        return snap
+
+    def snapshot(self, snapshot_id: int | None = None) -> Snapshot:
+        return (
+            self.current_snapshot()
+            if snapshot_id is None
+            else self.log.get(snapshot_id)
+        )
+
+    # ------------------------------------------------------------ manifests
+    def manifest_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """All live file entries for a snapshot, as a DataFrame."""
+        snap = self.snapshot(snapshot_id)
+        if not snap.manifests:
+            return self.spark.createDataFrame([], S.MANIFEST_SCHEMA)
+        return self.spark.read.schema(S.MANIFEST_SCHEMA).parquet(*snap.manifests)
+
+    def manifest_entries(self, snapshot_id: int | None = None) -> list[dict]:
+        """Driver-side manifest entries (for planning/commit paths)."""
+        snap = self.snapshot(snapshot_id)
+        out: list[dict] = []
+        for m in snap.manifests:
+            out.extend(pq.read_table(m).to_pylist())
+        return out
+
+    def write_manifest(self, entries: list[dict]) -> str:
+        path = os.path.join(self.manifest_dir, f"manifest-{uuid.uuid4().hex}.parquet")
+        cols = {
+            f.name: [e.get(f.name) for e in entries]
+            for f in _ARROW_MANIFEST_SCHEMA
+        }
+        table = pa.table(cols, schema=_ARROW_MANIFEST_SCHEMA)
+        pq.write_table(table, path)
+        return path
+
+    # ---------------------------------------------------------------- scans
+    def file_paths(
+        self, snapshot_id: int | None = None, partitions: Iterable[str] | None = None
+    ) -> list[str]:
+        entries = self.manifest_entries(snapshot_id)
+        if partitions is not None:
+            keep = set(partitions)
+            entries = [e for e in entries if e["partition"] in keep]
+        return [e["file_path"] for e in entries]
+
+    def scan(
+        self,
+        snapshot_id: int | None = None,
+        partitions: Iterable[str] | None = None,
+        files: list[str] | None = None,
+    ) -> DataFrame:
+        """Snapshot-pinned read. Returns an empty DF for an empty table."""
+        paths = (
+            files if files is not None else self.file_paths(snapshot_id, partitions)
+        )
+        if not paths:
+            return self.spark.createDataFrame([], S.DATA_SCHEMA)
+        return self.spark.read.schema(S.DATA_SCHEMA).parquet(*paths)
+
+    # --------------------------------------------------------------- writes
+    def _stage_dir(self, event_id: str) -> str:
+        d = os.path.join(self.data_dir, event_id)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def write_data_files(
+        self,
+        df: DataFrame,
+        event_id: str,
+        num_files: int | None = None,
+        sub_dir: str | None = None,
+        shuffle: bool = True,
+    ) -> list[dict]:
+        """Write rows as immutable data files under a unique event-id folder
+        and return manifest entries (stats computed Spark-side, sizes from the
+        filesystem). The ``source`` column is duplicated into a directory
+        partition column so each file holds exactly one partition value while
+        the real column stays inside the file.
+        """
+        stage = self._stage_dir(event_id)
+        if sub_dir:
+            stage = os.path.join(stage, sub_dir)
+        out = df.select("doc_id", "tokens", "n_tok", "source").withColumn(
+            S.WRITE_PART_COL, F.col("source")
+        )
+        if shuffle and num_files:
+            # spread rows evenly; partitionBy still splits per source below
+            out = out.repartition(num_files, F.col("source"), F.xxhash64("doc_id"))
+        elif num_files:
+            out = out.coalesce(num_files)
+        out.write.mode("append").partitionBy(S.WRITE_PART_COL).parquet(stage)
+        return self.collect_entries_for_dir(stage)
+
+    @staticmethod
+    def _walk_parquet(directory: str) -> list[str]:
+        files = []
+        for base, _dirs, names in os.walk(directory):
+            for n in names:
+                if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                    files.append(os.path.join(base, n))
+        return sorted(files)
+
+    def collect_entries_for_dir(self, directory: str) -> list[dict]:
+        return self.collect_entries_for_files(self._walk_parquet(directory))
+
+    def collect_entries_for_files(self, files: list[str]) -> list[dict]:
+        """Stats + sizes for an explicit list of parquet data files.
+
+        Reads the explicit leaf-file list (no directory-partition inference:
+        partition values come from file *content*, never from path parsing).
+        """
+        from circus_train_spark.functions.stats import per_file_stats
+
+        if not files:
+            return []
+        read = (
+            self.spark.read.schema(S.DATA_SCHEMA)
+            .parquet(*files)
+            .select("doc_id", "tokens", "n_tok", "source")
+            .withColumn("_file", F.input_file_name())
+        )
+        part_of_file = (
+            read.groupBy("_file")
+            .agg(F.first("source").alias("partition"))
+        )
+        stats = per_file_stats(read)
+        rows = (
+            stats.join(part_of_file, stats.file_path == part_of_file._file)
+            .drop("_file")
+            .collect()
+        )
+        entries = []
+        for r in rows:
+            p = _strip_uri(r["file_path"])
+            entries.append(
+                {
+                    "file_path": p,
+                    "partition": r["partition"],
+                    "file_size": os.path.getsize(p),
+                    "n_rows": r["n_rows"],
+                    "min_doc_id": r["min_doc_id"],
+                    "max_doc_id": r["max_doc_id"],
+                    "min_n_tok": r["min_n_tok"],
+                    "max_n_tok": r["max_n_tok"],
+                    "min_zkey": r["min_zkey"],
+                    "max_zkey": r["max_zkey"],
+                    "xor_digest": r["xor_digest"],
+                    "added_snapshot_id": -1,  # patched at commit
+                }
+            )
+        return sorted(entries, key=lambda e: e["file_path"])
+
+    # --------------------------------------------------------------- commit
+    def commit(
+        self,
+        *,
+        operation: str,
+        added: list[dict] | None = None,
+        removed_paths: set[str] | None = None,
+        summary: dict | None = None,
+        expected_parent_id: int | None = None,
+        event_id: str | None = None,
+    ) -> Snapshot:
+        """Copy-on-write metadata commit: carry forward untouched manifests,
+        rewrite manifests that lose entries, add one manifest for new files,
+        then atomically swap the snapshot pointer."""
+        event_id = event_id or new_event_id()
+        parent = self.current_snapshot()
+        if expected_parent_id is None:
+            expected_parent_id = parent.snapshot_id
+        elif expected_parent_id != parent.snapshot_id:
+            # surface conflicts early; SnapshotLog re-checks under the lock
+            parent = self.snapshot(expected_parent_id)
+        new_sid = expected_parent_id + 1
+        manifests: list[str] = []
+        removed_paths = removed_paths or set()
+        n_removed = 0
+        if removed_paths:
+            for m in self.snapshot(expected_parent_id).manifests:
+                tbl = pq.read_table(m)
+                mask = [p not in removed_paths for p in tbl.column("file_path").to_pylist()]
+                if all(mask):
+                    manifests.append(m)
+                    continue
+                kept = tbl.filter(pa.array(mask))
+                n_removed += len(tbl) - len(kept)
+                if len(kept):
+                    path = os.path.join(
+                        self.manifest_dir, f"manifest-{uuid.uuid4().hex}.parquet"
+                    )
+                    pq.write_table(kept, path)
+                    manifests.append(path)
+        else:
+            manifests = list(self.snapshot(expected_parent_id).manifests)
+        added = added or []
+        if added:
+            for e in added:
+                e["added_snapshot_id"] = new_sid
+            manifests.append(self.write_manifest(added))
+        summary = dict(summary or {})
+        summary.setdefault("added_files", len(added))
+        summary.setdefault("removed_files", len(removed_paths))
+        summary.setdefault("added_rows", sum(e["n_rows"] for e in added))
+        summary.setdefault("added_bytes", sum(e["file_size"] for e in added))
+        return self.log.commit(
+            expected_parent_id=expected_parent_id,
+            event_id=event_id,
+            operation=operation,
+            manifests=manifests,
+            summary=summary,
+        )
+
+    def append(self, df: DataFrame, num_files: int | None = None) -> Snapshot:
+        event_id = new_event_id()
+        entries = self.write_data_files(df, event_id, num_files=num_files)
+        return self.commit(operation="append", added=entries, event_id=event_id)
+
+    # ------------------------------------------------------------ utilities
+    def table_digest(self, snapshot_id: int | None = None) -> dict:
+        from circus_train_spark.functions.digest import table_digest
+
+        return table_digest(self.scan(snapshot_id))
+
+    def drop(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)

@@ -1,0 +1,111 @@
+"""Table format core: create/append/scan, digests, snapshot isolation,
+commit conflicts, manifest parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from circus_train_spark.functions.digest import table_digest
+from circus_train_spark.meta.catalog import TokenTable
+from circus_train_spark.meta.snapshot import CommitConflictError
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return TokenTable.create(spark, str(tmp_path / "tbl"))
+
+
+def test_create_and_load(spark, tmp_path):
+    root = str(tmp_path / "t1")
+    t = TokenTable.create(spark, root)
+    assert t.current_snapshot().operation == "create"
+    t2 = TokenTable.load(spark, root)
+    assert t2.current_snapshot().snapshot_id == t.current_snapshot().snapshot_id
+    with pytest.raises(FileExistsError):
+        TokenTable.create(spark, root)
+    with pytest.raises(FileNotFoundError):
+        TokenTable.load(spark, str(tmp_path / "missing"))
+
+
+def test_append_scan_roundtrip(table, tokens_df):
+    before = table_digest(tokens_df)
+    snap = table.append(tokens_df, num_files=6)
+    assert snap.operation == "append"
+    out = table.scan()
+    assert table_digest(out) == before
+    # schema is exact
+    assert [f.name for f in out.schema.fields] == ["doc_id", "tokens", "n_tok", "source"]
+    # every row's token array matches the source row (join on doc_id)
+    joined = out.alias("a").join(tokens_df.alias("b"), "doc_id")
+    n_bad = joined.filter(
+        (F.col("a.tokens") != F.col("b.tokens"))
+        | (F.col("a.n_tok") != F.col("b.n_tok"))
+        | (F.col("a.source") != F.col("b.source"))
+    ).count()
+    assert n_bad == 0
+    assert joined.count() == tokens_df.count()
+
+
+def test_manifest_parity(table, tokens_df):
+    table.append(tokens_df, num_files=4)
+    m = table.manifest_df()
+    agg = m.agg(F.sum("n_rows").alias("r"), F.count("*").alias("f")).collect()[0]
+    assert agg["r"] == tokens_df.count()
+    # recomputed per-file digests/counts match the manifest entries
+    data = table.scan().withColumn("_file", F.input_file_name())
+    per_file = (
+        data.withColumn(
+            "_h", F.xxhash64("doc_id", "tokens", "n_tok", "source")
+        )
+        .groupBy("_file")
+        .agg(F.count("*").alias("n"), F.expr("bit_xor(_h)").alias("x"))
+        .collect()
+    )
+    manifest = {e["file_path"]: e for e in table.manifest_entries()}
+    assert len(per_file) == agg["f"]
+    for row in per_file:
+        path = row["_file"]
+        for prefix in ("file://", "file:"):
+            if path.startswith(prefix):
+                path = path[len(prefix):]
+                break
+        e = manifest[path]
+        assert e["n_rows"] == row["n"]
+        assert e["xor_digest"] == row["x"]
+
+
+def test_partition_pruning_scan(table, tokens_df):
+    table.append(tokens_df, num_files=4)
+    books = table.scan(partitions=["books"])
+    assert books.select("source").distinct().collect() == [("books",)]
+    expected = tokens_df.filter(F.col("source") == "books").count()
+    assert books.count() == expected
+    # pruning happened at planning: fewer files were read
+    n_books_files = len(table.file_paths(partitions=["books"]))
+    n_all_files = len(table.file_paths())
+    assert n_books_files < n_all_files
+
+
+def test_snapshot_isolation(table, tokens_df):
+    s1 = table.append(tokens_df, num_files=2)
+    d1 = table.table_digest(s1.snapshot_id)
+    more = tokens_df.withColumn("doc_id", F.concat(F.lit("x-"), F.col("doc_id")))
+    s2 = table.append(more, num_files=2)
+    assert s2.parent_id == s1.snapshot_id
+    # pinned reader still sees exactly snapshot 1
+    assert table.table_digest(s1.snapshot_id) == d1
+    assert table.table_digest(s2.snapshot_id)["n_rows"] == 2 * d1["n_rows"]
+    # history walks back to create
+    ops = [s.operation for s in table.log.history()]
+    assert ops == ["create", "append", "append"]
+
+
+def test_commit_conflict(table, tokens_df):
+    s1 = table.append(tokens_df.limit(10), num_files=1)
+    base = s1.snapshot_id
+    table.append(tokens_df.limit(5), num_files=1)  # head moves
+    with pytest.raises(CommitConflictError):
+        table.commit(
+            operation="append",
+            added=[],
+            expected_parent_id=base,
+        )
