@@ -112,11 +112,15 @@ class SnapshotLog:
         return sorted(out)
 
     def history(self) -> list[Snapshot]:
-        """Ancestor chain of the current snapshot, oldest first."""
+        """Ancestor chain of the current snapshot, oldest first. Stops at the
+        oldest *retained* ancestor (expiry deletes older snapshot files)."""
         chain: list[Snapshot] = []
         sid = self.current_id()
         while sid is not None:
-            snap = self.get(sid)
+            try:
+                snap = self.get(sid)
+            except FileNotFoundError:
+                break
             chain.append(snap)
             sid = snap.parent_id
         return list(reversed(chain))

@@ -1,0 +1,251 @@
+"""MERGE INTO — broadcast-or-sort-merge join plan, copy-on-write file groups.
+
+Change-set schema: the data columns plus ``_op`` ∈ {``upsert``, ``delete``}
+(tokens/n_tok/source may be NULL for deletes). Semantics:
+
+- ``upsert`` with a matching ``doc_id``  → UPDATE (row replaced)
+- ``upsert`` with no match               → INSERT
+- ``delete`` with a matching ``doc_id``  → DELETE (no-op if absent)
+
+Plan (all joins on ``doc_id``):
+1. **file pruning** — manifest entries whose [min_doc_id, max_doc_id] range
+   could contain a change key survive; everything else is out of scope
+   before any data read (stats-based skip; works best after clustering).
+2. **touched-file probe** — read only the ``doc_id`` column of surviving
+   files (column pruning to one string column), **left-semi join** against
+   the change keys, collect the distinct ``input_file_name()`` set. This is
+   the reference's replica-side hash probe re-expressed distributed
+   (``core/replica/Replica.java:177-204,290-296``).
+3. **copy-on-write rewrite** — read the touched files fully, **left-anti
+   join** away all changed keys (updates + deletes; the reference's
+   propagate-deletes anti-join, ``core/replica/DestructiveReplica.java:
+   83-127``), union all upsert rows, write new files per partition.
+   Untouched files are not rewritten — byte-identical, the copy-on-write
+   minimality contract.
+4. single atomic commit: remove touched files, add rewritten ones.
+
+Join strategy: the change side is broadcast when its estimated size is under
+``broadcast_threshold_bytes`` (like Catalyst's autoBroadcastJoinThreshold,
+decided here from known change-set size), else Catalyst/AQE picks a
+sort-merge or shuffled-hash join on the shuffled key.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from circus_train_spark.ids import new_event_id
+from circus_train_spark.meta.catalog import TokenTable
+from circus_train_spark.meta.lineage import STATUS_DONE, LineageRecord
+
+OP = "merge"
+
+
+@dataclass
+class MergeResult:
+    snapshot_id: int | None
+    files_touched: int
+    files_pruned: int
+    files_out: int
+    inserted: int
+    updated: int
+    deleted: int
+    strategy: str
+    duration_s: float
+
+
+def _prune_by_stats(entries: list[dict], keys_df: DataFrame) -> tuple[list[dict], int]:
+    """Keep manifest entries whose doc_id range may contain a change key.
+
+    Ranges are checked distributed via a range-containment join of the
+    (small) manifest against the change keys — no key list on the driver.
+    """
+    spark = keys_df.sparkSession
+    if not entries:
+        return [], 0
+    m = spark.createDataFrame(
+        [(e["file_path"], e["min_doc_id"], e["max_doc_id"]) for e in entries],
+        "file_path string, min_doc_id string, max_doc_id string",
+    )
+    hit = (
+        m.join(
+            keys_df,
+            (keys_df.doc_id >= m.min_doc_id) & (keys_df.doc_id <= m.max_doc_id),
+            "left_semi",
+        )
+        .select("file_path")
+        .collect()
+    )
+    hit_set = {r["file_path"] for r in hit}
+    kept = [e for e in entries if e["file_path"] in hit_set]
+    return kept, len(entries) - len(kept)
+
+
+def merge_into(
+    table: TokenTable,
+    changes: DataFrame,
+    broadcast_threshold_rows: int = 1_000_000,
+    verify: bool = True,
+    run_id: str | None = None,
+) -> MergeResult:
+    t0 = time.monotonic()
+    event_id = run_id or new_event_id()
+    base = table.current_snapshot()
+
+    changes = changes.select("doc_id", "tokens", "n_tok", "source", "_op").cache()
+    n_changes = changes.count()
+    n_distinct = changes.select("doc_id").distinct().count()
+    if n_distinct != n_changes:
+        changes.unpersist()
+        raise ValueError(
+            f"ambiguous MERGE: {n_changes - n_distinct} duplicate doc_id keys in "
+            "the change set (each key may appear at most once)"
+        )
+    n_upserts = changes.filter(F.col("_op") == "upsert").count()
+    n_deletes = n_changes - n_upserts
+    use_broadcast = n_changes <= broadcast_threshold_rows
+    strategy = "broadcast" if use_broadcast else "sort_merge"
+
+    def keyside(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if use_broadcast else df
+
+    keys = changes.select("doc_id").distinct()
+
+    # 1. stats-based file pruning
+    entries = table.manifest_entries(base.snapshot_id)
+    candidates, n_pruned_stats = _prune_by_stats(entries, keys)
+
+    # 2. touched-file probe: doc_id column only, semi join
+    touched: list[str] = []
+    n_existing = 0
+    if candidates:
+        probe = (
+            table.scan(files=[e["file_path"] for e in candidates])
+            .select("doc_id", F.input_file_name().alias("_file"))
+            .join(keyside(keys), "doc_id", "inner")
+        )
+        agg = probe.agg(
+            F.collect_set("_file").alias("files"), F.count("*").alias("n")
+        ).collect()[0]
+        n_existing = agg["n"]
+        touched = sorted(_strip(p) for p in agg["files"])
+
+    # matched upserts = updates; the rest of the upserts are inserts
+    matched_upserts = 0
+    if touched:
+        matched_upserts = (
+            changes.filter(F.col("_op") == "upsert")
+            .select("doc_id")
+            .join(table.scan(files=touched).select("doc_id"), "doc_id", "left_semi")
+            .count()
+        )
+    n_updated = matched_upserts
+    n_inserted = n_upserts - matched_upserts
+    n_deleted = n_existing - matched_upserts  # matched delete keys
+
+    # 3. copy-on-write rewrite of touched files + all upsert rows
+    survivors = None
+    if touched:
+        survivors = table.scan(files=touched).join(keyside(keys), "doc_id", "left_anti")
+    upsert_rows = changes.filter(F.col("_op") == "upsert").select(
+        "doc_id", "tokens", "n_tok", "source"
+    )
+    out = upsert_rows if survivors is None else survivors.unionByName(upsert_rows)
+
+    touched_set = set(touched)
+    rewritten_bytes = sum(e["file_size"] for e in entries if e["file_path"] in touched_set)
+    n_out = max(1, round((rewritten_bytes or 1) / (64 * 1024 * 1024)))
+    added = table.write_data_files(out, event_id, num_files=n_out, sub_dir="merged")
+
+    table.lineage.append(
+        LineageRecord(
+            run_id=event_id,
+            operation=OP,
+            group_id=event_id,
+            partition=None,
+            files_in=touched,
+            files_out=[e["file_path"] for e in added],
+            rows=sum(e["n_rows"] for e in added),
+            bytes_in=rewritten_bytes,
+            bytes_out=sum(e["file_size"] for e in added),
+            status=STATUS_DONE,
+            duration_s=time.monotonic() - t0,
+        )
+    )
+    snap = table.commit(
+        operation=OP,
+        added=added,
+        removed_paths=set(touched),
+        summary={
+            "strategy": strategy,
+            "inserted": n_inserted,
+            "updated": n_updated,
+            "deleted": n_deleted,
+            "files_pruned_by_stats": n_pruned_stats,
+        },
+        expected_parent_id=base.snapshot_id,
+        event_id=event_id,
+    )
+
+    if verify:
+        _verify_merge(table, base.snapshot_id, snap.snapshot_id, changes)
+    changes.unpersist()
+    return MergeResult(
+        snapshot_id=snap.snapshot_id,
+        files_touched=len(touched),
+        files_pruned=n_pruned_stats,
+        files_out=len(added),
+        inserted=n_inserted,
+        updated=n_updated,
+        deleted=n_deleted,
+        strategy=strategy,
+        duration_s=time.monotonic() - t0,
+    )
+
+
+def _strip(p: str) -> str:
+    if p.startswith("file:"):
+        p = p[len("file:") :]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def _verify_merge(
+    table: TokenTable, before_sid: int, after_sid: int, changes: DataFrame
+) -> None:
+    """Row-level MERGE postconditions, computed distributed (no collect):
+    upsert rows present with exactly the new content, deleted keys absent,
+    untouched rows byte-identical (via digest of the complement)."""
+    after = table.scan(after_sid)
+    upserts = changes.filter(F.col("_op") == "upsert")
+    # every upsert key appears exactly once with matching content
+    bad_upserts = (
+        upserts.alias("c")
+        .join(after.alias("t"), "doc_id", "left")
+        .filter(
+            F.col("t.n_tok").isNull()
+            | (F.col("t.tokens") != F.col("c.tokens"))
+            | (F.col("t.source") != F.col("c.source"))
+        )
+        .count()
+    )
+    if bad_upserts:
+        raise AssertionError(f"{bad_upserts} upserted rows missing or wrong after merge")
+    deleted_present = (
+        changes.filter(F.col("_op") == "delete").join(after, "doc_id", "left_semi").count()
+    )
+    if deleted_present:
+        raise AssertionError(f"{deleted_present} deleted keys still present after merge")
+    # complement (rows not referenced by any change) digest-stable
+    from circus_train_spark.functions.digest import table_digest
+
+    keys = changes.select("doc_id")
+    before_rest = table.scan(before_sid).join(keys, "doc_id", "left_anti")
+    after_rest = after.join(keys, "doc_id", "left_anti")
+    if table_digest(before_rest) != table_digest(after_rest):
+        raise AssertionError("rows not referenced by the change set were modified")

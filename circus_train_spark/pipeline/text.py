@@ -1,0 +1,118 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All operators are pure ``pyspark.sql.functions`` expressions (JVM-side,
+whole-stage-codegen) over the ``documents`` table
+``(doc_id, text, lang, source, n_chars)`` — no Python in the hot path.
+
+- token counting: whitespace tokens + a BPE-ish word/punct regex count
+- quality scoring: length / punctuation / stopword / uppercase ratios
+- language id: n-gram (stopword-list) heuristic scoring
+- fingerprinting: rolling content hash per document
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small function-word list per language for the n-gram heuristic.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "von"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "las", "que", "de", "en", "una", "por", "con"],
+}
+
+_EN_STOPWORDS = _LANG_MARKERS["en"] + ["a", "an", "with", "as", "on", "at", "by"]
+
+# BPE-ish tokenizer regex: words, numbers, or single non-space symbols
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count (empty string -> 0)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of BPE-ish lexemes (regexp_count is JVM-side, vectorized)."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
+
+
+def upper_ratio(text: Column) -> Column:
+    n = F.length(text)
+    upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(upper / n)
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are English stopwords."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in _EN_STOPWORDS]))
+    )
+    total = ws_token_count(text)
+    return F.when(total == 0, F.lit(0.0)).otherwise(stop / total)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, not punctuation soup,
+    not shouting, has function words."""
+    len_term = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0))
+    upper_term = F.lit(1.0) - F.least(upper_ratio(text) * 5, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 3, F.lit(1.0))
+    return (len_term + punct_term + upper_term + stop_term) / 4
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit ratios (shares one tokenization)."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    total = F.greatest(F.size(toks), F.lit(1))
+    out = {}
+    for lang, markers in _LANG_MARKERS.items():
+        hits = F.size(F.filter(toks, lambda t: t.isin(*[F.lit(m) for m in markers])))
+        out[lang] = hits / total
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over the marker ratios; 'und' when nothing matches."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[F.struct(c.alias("score"), F.lit(l).alias("lang")) for l, c in scores.items()]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column, width: int = 64) -> Column:
+    """Deterministic document fingerprint: xxhash64 of the normalized text
+    (lowercased, whitespace collapsed) — a rolling-hash-style content id."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.xxhash64(norm)
+
+
+def analyze(documents: DataFrame) -> DataFrame:
+    """One-pass text-analysis projection over the documents table."""
+    t = F.col("text")
+    return documents.select(
+        "doc_id",
+        "source",
+        ws_token_count(t).alias("ws_tokens"),
+        bpe_ish_token_count(t).alias("bpe_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -106,9 +106,14 @@ def generate_changes(
         _regen_for_ids(upd_ids, seed=seed + 1000)
         .withColumn("_op", F.lit("upsert"))
     )
-    # deletes: every k-th row offset by 1 (disjoint-ish from updates)
+    # deletes: every k-th row offset by 1, excluding update ids (a key must
+    # appear at most once in a change set — MERGE rejects ambiguous inputs)
     stride_d = max(1, n_rows // n_del)
-    del_ids = spark.range(1, n_rows, stride_d).withColumnRenamed("id", "rid")
+    del_ids = (
+        spark.range(1, n_rows, stride_d)
+        .filter(F.col("id") % stride_u != 0)
+        .withColumnRenamed("id", "rid")
+    )
     dele = del_ids.select(
         F.format_string("doc-%016x", F.col("rid")).alias("doc_id"),
         F.lit(None).cast("array<int>").alias("tokens"),

@@ -1,0 +1,108 @@
+"""Clustering: zkey functions, content preservation, file-skipping stats."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from circus_train_spark.functions.zorder import (
+    hilbert2,
+    morton2,
+    morton3,
+    _fold_hash_to_bits,
+    _scale_to_bits,
+)
+from circus_train_spark.meta.catalog import TokenTable
+from circus_train_spark.operators.cluster import cluster
+
+
+# ---------------------------------------------------------------- pure numpy
+def test_morton2_interleaves_bits():
+    a = np.array([0b101], dtype=np.uint64)
+    b = np.array([0b011], dtype=np.uint64)
+    # bits: a=101, b=011 -> interleave (b high): b2 a2 b1 a1 b0 a0 = 0 1 1 0 1 1
+    assert morton2(a, b)[0] == 0b011011
+
+
+def test_morton3_is_monotone_in_each_dim():
+    base = np.array([5], dtype=np.uint64)
+    k0 = morton3(base, base, base)[0]
+    assert morton3(base + 1, base, base)[0] != k0
+    # key fits in signed 63 bits
+    big = np.array([(1 << 21) - 1], dtype=np.uint64)
+    assert morton3(big, big, big)[0] == (1 << 63) - 1
+
+
+def test_hilbert2_is_a_bijection_on_small_grid():
+    bits = 4
+    n = 1 << bits
+    xs, ys = np.meshgrid(np.arange(n, dtype=np.uint64), np.arange(n, dtype=np.uint64))
+    d = hilbert2(xs.ravel(), ys.ravel(), bits=bits)
+    assert len(set(d.tolist())) == n * n
+    assert d.min() == 0 and d.max() == n * n - 1
+
+
+def test_hilbert2_locality_neighbors_close():
+    # successive hilbert distances map to adjacent grid cells; invert:
+    # points close on the curve are close in space (sample check)
+    bits = 8
+    n = 1 << bits
+    xs = np.arange(n, dtype=np.uint64)
+    ys = np.zeros(n, dtype=np.uint64)
+    d = hilbert2(xs, ys, bits=bits)
+    assert len(set(d.tolist())) == n
+
+
+def test_fold_and_scale_ranges():
+    h = np.array([-(2**63), 2**63 - 1, 0, 12345], dtype=np.int64)
+    f = _fold_hash_to_bits(h)
+    assert (f < (1 << 21)).all()
+    v = np.array([8, 4096, 2000], dtype=np.int64)
+    s = _scale_to_bits(v, 8, 4096)
+    assert s[0] == 0 and s[1] == (1 << 21) - 1 and 0 < s[2] < (1 << 21) - 1
+
+
+# ---------------------------------------------------------------- spark jobs
+@pytest.fixture()
+def loaded_table(spark, tmp_path, tokens_df):
+    t = TokenTable.create(spark, str(tmp_path / "tbl"))
+    t.append(tokens_df, num_files=12)
+    return t
+
+
+@pytest.mark.parametrize("curve", ["zorder", "hilbert"])
+def test_cluster_preserves_content(loaded_table, curve):
+    t = loaded_table
+    digest = t.table_digest()
+    res = cluster(t, target_file_bytes=8 * 1024 * 1024, curve=curve, verify=True)
+    assert res.snapshot_id is not None
+    assert t.table_digest() == digest
+    assert t.current_snapshot().operation == "cluster"
+    # zkey stats recorded for skipping
+    m = t.manifest_entries()
+    assert all(e["min_zkey"] is not None and e["max_zkey"] is not None for e in m)
+    assert all(e["min_zkey"] <= e["max_zkey"] for e in m)
+
+
+def test_cluster_files_are_single_source_and_sorted(loaded_table):
+    t = loaded_table
+    cluster(t, target_file_bytes=4 * 1024 * 1024)
+    per_file = (
+        t.scan()
+        .withColumn("_f", F.input_file_name())
+        .groupBy("_f")
+        .agg(F.countDistinct("source").alias("ns"))
+        .collect()
+    )
+    assert all(r["ns"] == 1 for r in per_file)
+
+
+def test_cluster_improves_ntok_skipping(loaded_table):
+    """After z-ordering, per-file n_tok ranges should overlap less: the sum
+    of per-file (max-min) ranges shrinks vs the unclustered layout."""
+    t = loaded_table
+    before = t.manifest_entries()
+    span_before = sum(e["max_n_tok"] - e["min_n_tok"] for e in before) / len(before)
+    cluster(t, target_file_bytes=2 * 1024 * 1024)
+    after = t.manifest_entries()
+    span_after = sum(e["max_n_tok"] - e["min_n_tok"] for e in after) / len(after)
+    assert span_after < span_before

@@ -1,0 +1,88 @@
+"""MERGE INTO: insert/update/delete semantics, copy-on-write minimality."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from circus_train_spark.meta.catalog import TokenTable
+from circus_train_spark.operators.merge import merge_into
+from circus_train_spark.sources.generator import generate_changes
+
+
+@pytest.fixture()
+def loaded(spark, tmp_path, tokens_df):
+    t = TokenTable.create(spark, str(tmp_path / "tbl"))
+    t.append(tokens_df, num_files=12)
+    return t
+
+
+def test_merge_semantics(spark, loaded, tokens_df):
+    t = loaded
+    n0 = tokens_df.count()
+    changes = generate_changes(spark, n0, seed=42).cache()
+    n_ins_expected = changes.filter(F.col("_op") == "upsert").join(
+        tokens_df, "doc_id", "left_anti"
+    ).count()
+    n_del_expected = changes.filter(F.col("_op") == "delete").join(
+        tokens_df, "doc_id", "left_semi"
+    ).count()
+    # note: generator may upsert-and-delete distinct keys; verify via counts
+    res = merge_into(t, changes, verify=True)  # verify raises on violation
+    assert res.snapshot_id is not None
+    assert res.inserted == n_ins_expected
+    assert res.deleted == n_del_expected
+    assert res.updated > 0
+    after = t.scan()
+    assert after.count() == n0 + res.inserted - res.deleted
+    # updated rows carry the NEW token arrays
+    upd = changes.filter(F.col("_op") == "upsert").join(tokens_df, "doc_id", "left_semi")
+    j = upd.alias("c").join(after.alias("t"), "doc_id").filter(
+        F.col("t.tokens") != F.col("c.tokens")
+    )
+    assert j.count() == 0
+
+
+def test_merge_copy_on_write_minimality(spark, loaded, tokens_df):
+    """Files without any matching change key must survive untouched."""
+    t = loaded
+    before_entries = {e["file_path"]: e for e in t.manifest_entries()}
+    changes = generate_changes(spark, tokens_df.count(), seed=42)
+    res = merge_into(t, changes, verify=False)
+    after_paths = set(e["file_path"] for e in t.manifest_entries())
+    untouched_live = set(before_entries) & after_paths
+    # untouched files are the SAME physical files (not rewritten)
+    assert len(untouched_live) == len(before_entries) - res.files_touched
+    assert res.files_pruned + res.files_touched <= len(before_entries)
+
+
+def test_merge_insert_only(spark, loaded):
+    t = loaded
+    n0 = t.scan().count()
+    new_rows = (
+        t.spark.range(0, 50)
+        .select(
+            F.format_string("new-%04d", F.col("id")).alias("doc_id"),
+            F.array(F.lit(1), F.lit(2)).cast("array<int>").alias("tokens"),
+            F.lit(2).alias("n_tok").cast("int"),
+            F.lit("books").alias("source"),
+            F.lit("upsert").alias("_op"),
+        )
+    )
+    res = merge_into(t, new_rows, verify=True)
+    assert res.inserted == 50 and res.updated == 0 and res.deleted == 0
+    assert res.files_touched == 0  # pure insert rewrites nothing
+    assert t.scan().count() == n0 + 50
+
+
+def test_merge_delete_only(spark, loaded, tokens_df):
+    t = loaded
+    n0 = tokens_df.count()
+    victims = tokens_df.limit(37).select(
+        "doc_id",
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit("delete").alias("_op"),
+    )
+    res = merge_into(t, victims, verify=True)
+    assert res.deleted == 37 and res.inserted == 0 and res.updated == 0
+    assert t.scan().count() == n0 - 37
