@@ -1,0 +1,276 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-conscious:
+
+- **exact** — hash-groupBy on normalized text, keep min(doc_id). One shuffle
+  on a 64-bit hash, never on the text itself.
+- **MinHash + LSH** — word-shingle set → k minhashes (JVM-side:
+  ``array_min`` over ``transform``-hashed shingles, no UDF) → band buckets →
+  candidate pairs only within buckets → exact Jaccard verification on the
+  candidates. The cross-join explosion is bounded per bucket.
+- **SimHash** — 64-bit sign-aggregated fingerprint (numpy bit unpack in an
+  Arrow pandas UDF over JVM-prehashed token arrays); near-dups = equal
+  fingerprints on rotated bands (hamming ≤ r by pigeonhole).
+- **n-gram Jaccard** — exact pairwise similarity on LSH candidates.
+- **embedding cosine** — near-duplicate pairs above a cosine threshold via
+  random-hyperplane LSH bucketing + in-bucket verification
+  (see ``similarity.py`` for the primitives).
+
+At 100 TB: every strategy shuffles fixed-width signatures (8–256 bytes/row),
+not documents; buckets with pathological sizes are capped (``max_bucket``)
+and logged rather than cross-joined blindly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------- exact
+
+
+def normalized_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one representative (min doc_id) per identical normalized text."""
+    h = F.xxhash64(normalized_text(F.col(text_col)))
+    w = Window.partitionBy("_h").orderBy("doc_id")
+    return (
+        documents.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def exact_dup_groups(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(hash, n_dups, keeper) for every text appearing more than once."""
+    h = F.xxhash64(normalized_text(F.col(text_col)))
+    return (
+        documents.withColumn("_h", h)
+        .groupBy(F.col("_h").alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ------------------------------------------------------------------- minhash
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles (distinct), built JVM-side."""
+    words = F.split(normalized_text(text), " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i + 1, n)
+        ),
+    )
+    # short docs: fall back to the whole text as one shingle
+    return F.when(k > 0, F.array_distinct(grams)).otherwise(
+        F.array(normalized_text(text))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """Array of ``num_hashes`` minhash values — pure JVM: each hash family is
+    xxhash64(shingle, seed_i), minimum over the shingle set."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def with_minhash(
+    documents: DataFrame, text_col: str = "text", num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    return documents.withColumn(
+        "minhash", minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes)
+    )
+
+
+def lsh_candidate_pairs(
+    with_sig: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band the signature, bucket-join, emit candidate (a, b) pairs once.
+
+    rows_per_band = num_hashes // bands; a pair collides when all rows of any
+    band match — the classic (r, b) S-curve. Buckets larger than
+    ``max_bucket`` are dropped (boilerplate/empty-doc clusters) to bound the
+    in-bucket quadratic join.
+    """
+    r = num_hashes // bands
+    banded = with_sig.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.col("minhash")[b * r + j] for j in range(r)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    sized = banded.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("_n") <= max_bucket)
+    a = sized.alias("a")
+    b = sized.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    documents: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage)."""
+    sh = documents.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+    )
+
+
+def minhash_dedup(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end near-dup removal: LSH candidates → Jaccard ≥ threshold →
+    drop the higher doc_id of each matched pair (greedy union toward min)."""
+    sig = with_minhash(documents, text_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sig, num_hashes, bands)
+    dups = (
+        jaccard_pairs(documents, cands, text_col, shingle_n)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return documents.join(dups, "doc_id", "left_anti")
+
+
+# ------------------------------------------------------------------- simhash
+
+
+def simhash_prehash(text: Column) -> Column:
+    """JVM-side per-word hashes (array<long>) feeding the numpy stage."""
+    words = F.split(normalized_text(text), " ")
+    return F.transform(words, lambda w: F.xxhash64(w))
+
+
+def simhash_udf():
+    @F.pandas_udf(T.LongType())
+    def simhash(hashes: pd.Series) -> pd.Series:
+        # fully vectorized across the Arrow batch: one flat bit matrix +
+        # reduceat over row offsets (no per-row Python loop)
+        lens = hashes.apply(len).to_numpy(dtype=np.int64)
+        out = np.zeros(len(hashes), dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in hashes[nonempty]]
+            ).astype(np.uint64)
+            bit_idx = np.arange(64, dtype=np.uint64)
+            bits = ((flat[:, None] >> bit_idx) & np.uint64(1)).astype(np.int64)
+            ne_lens = lens[nonempty]
+            offsets = np.concatenate(([0], np.cumsum(ne_lens)[:-1]))
+            counts = np.add.reduceat(bits, offsets, axis=0)
+            fp = (counts * 2 >= ne_lens[:, None]).astype(np.uint64)
+            vals = np.bitwise_or.reduce(fp << bit_idx, axis=1).astype(np.int64)
+            out[nonempty] = vals
+        return pd.Series(out)
+
+    return simhash
+
+
+def with_simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    sh = simhash_udf()
+    return documents.withColumn("simhash", sh(simhash_prehash(F.col(text_col))))
+
+
+def simhash_dup_pairs(with_fp: DataFrame, id_col: str = "doc_id", bands: int = 4) -> DataFrame:
+    """Pairs with hamming distance < bands: by pigeonhole, at least one of
+    ``bands`` 16-bit slices is identical — bucket-join on slices, verify with
+    JVM-side bit_count(xor) < bands."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sliced = with_fp.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "simhash", "bb.band", "bb.bucket")
+    a, b = sliced.alias("a"), sliced.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") < bands)
+        .distinct()
+    )

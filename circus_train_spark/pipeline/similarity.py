@@ -1,0 +1,215 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- **brute-force cosine top-k** — the exactness baseline: JVM-side dot
+  product via ``F.zip_with`` + ``F.aggregate`` (no Python), full scan,
+  ``ORDER BY sim DESC LIMIT k``. Correct at any scale, O(N·d) per query.
+- **LSH-bucketed ANN** — the scale path: ``n_planes`` random hyperplanes
+  (seeded, deterministic) give a sign bucket per vector; queries probe only
+  their own bucket (optionally multi-probe neighbors at hamming distance 1),
+  then rescore exactly. Index build is one narrow projection; probing reads
+  ~N/2^n_planes vectors.
+- **IVF-style variant** — coarse centroids picked deterministically from the
+  data (every (N/k)-th vector by id), assignment = argmin cosine, probe the
+  ``n_probe`` nearest lists. No KMeans dependency; same plumbing as a real
+  IVF index.
+
+Embedding near-duplicate detection composes the same primitives (bucket →
+in-bucket pair cosine ≥ threshold).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _lit_array(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity (brute force baseline)."""
+    q = _lit_array(query)
+    return (
+        embeddings.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 8).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ----------------------------------------------------------------- LSH (ANN)
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(np.float64)
+
+
+def bucket_expr(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-bucket id: bit i = (vec · plane_i) > 0. Pure column algebra."""
+    bits = []
+    for i, p in enumerate(planes):
+        d = dot(vec_col, F.array(*[F.lit(float(v)) for v in p]))
+        bits.append(F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def with_lsh_bucket(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    planes = hyperplanes(dim, n_planes, seed)
+    return embeddings.withColumn("bucket", bucket_expr(F.col(vec_col), planes))
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: probe the query's bucket (+ hamming-1
+    neighbors when ``multiprobe``), rescore exactly inside."""
+    dim = len(query)
+    planes = hyperplanes(dim, n_planes, seed)
+    qv = np.asarray(query, dtype=np.float64)
+    qbits = (planes @ qv) > 0
+    qbucket = int(np.sum(1 << np.nonzero(qbits)[0])) if qbits.any() else 0
+    probes = [qbucket]
+    if multiprobe:
+        probes += [qbucket ^ (1 << i) for i in range(n_planes)]
+    indexed = with_lsh_bucket(embeddings, dim, n_planes, seed, vec_col)
+    q = _lit_array(query)
+    return (
+        indexed.filter(F.col("bucket").isin(probes))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 8).alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-duplicate vector pairs: same LSH bucket AND cosine ≥ threshold."""
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, sim double"
+        )
+    dim = len(first[0])
+    indexed = with_lsh_bucket(embeddings, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "bucket"
+    )
+    sized = indexed.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("bucket"))
+    ).filter(F.col("_n") <= max_bucket)
+    a, b = sized.alias("a"), sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 8).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------- IVF-style
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN with deterministic coarse centroids (every (N/n_lists)-th
+    vector by id order — reproducible without a KMeans dependency)."""
+    n = embeddings.count()
+    stride = max(1, n // n_lists)
+    w = Window.orderBy(id_col)
+    cents = (
+        embeddings.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") - 1) % stride == 0)
+        .limit(n_lists)
+        .select(F.col("_rn").alias("list_id"), F.col(vec_col).alias("cent"))
+        .collect()
+    )
+    centroids = [(int(r["list_id"]), list(r["cent"])) for r in cents]
+    qv = np.asarray(query, dtype=np.float64)
+
+    def cos_np(c):
+        c = np.asarray(c, dtype=np.float64)
+        return float(c @ qv / (np.linalg.norm(c) * np.linalg.norm(qv) + 1e-12))
+
+    probe_ids = [
+        lid for lid, _ in sorted(centroids, key=lambda t: -cos_np(t[1]))[:n_probe]
+    ]
+    # assignment: argmax cosine over centroid literals (column algebra)
+    assign = F.array(
+        *[
+            F.struct(
+                F.round(cosine(F.col(vec_col), _lit_array(c)), 8).alias("s"),
+                F.lit(lid).alias("lid"),
+            )
+            for lid, c in centroids
+        ]
+    )
+    assigned = embeddings.withColumn("list_id", F.array_max(assign)["lid"])
+    q = _lit_array(query)
+    return (
+        assigned.filter(F.col("list_id").isin(probe_ids))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 8).alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )

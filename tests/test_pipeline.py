@@ -1,0 +1,212 @@
+"""Training-data pipeline ops over the driver-provided documents/embeddings."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from circus_train_spark.pipeline import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    e.count()
+    return e
+
+
+# ------------------------------------------------------------------- text
+def test_analyze_schema_and_sanity(docs):
+    out = text.analyze(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:50]:
+        assert r["ws_tokens"] >= 0 and r["bpe_tokens"] >= r["ws_tokens"] * 0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["lang_pred"] in ("en", "de", "fr", "es", "und")
+
+
+def test_token_counts_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! This is a test."), (2, ""), (3, "   "), (4, "one")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["ws"], r["bpe"])
+        for r in df.select(
+            "doc_id",
+            text.ws_token_count(F.col("text")).alias("ws"),
+            text.bpe_ish_token_count(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    assert got[1] == (6, 9)  # Hello , world ! This is a test .
+    assert got[2] == (0, 0) and got[3] == (0, 0) and got[4] == (1, 1)
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    fps = [r[0] for r in df.select(text.fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+# ------------------------------------------------------------------ dedup
+def test_exact_dedup_removes_planted_dups(spark, docs):
+    planted = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = docs.unionByName(planted)
+    out = dedup.exact_dedup(both)
+    assert out.count() == both.count() - 5
+    # keeper is the min doc_id
+    groups = dedup.exact_dup_groups(both).collect()
+    assert all(g["keeper"] < 1_000_000 for g in groups)
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    # plant near-duplicates: copy 5 docs with one appended word
+    near = (
+        docs.limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra")))
+    )
+    both = docs.unionByName(near).filter(F.length("text") > 50)
+    n_before = both.count()
+    out = dedup.minhash_dedup(both, threshold=0.5, num_hashes=32, bands=16)
+    n_after = out.count()
+    planted_alive = out.filter(F.col("doc_id") >= 2_000_000).count()
+    assert planted_alive == 0  # all planted near-dups caught
+    assert n_after <= n_before - 5
+
+
+def test_jaccard_exact_on_known_pair(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    j = dedup.jaccard_pairs(df, pairs, shingle_n=3).collect()[0]
+    # shingles: {abc,bcd,cde} vs {abc,bcd,cdx}: inter 2, union 4
+    assert abs(j["jaccard"] - 0.5) < 1e-9
+
+
+def test_simhash_near_dup_pairs(spark, docs):
+    near = (
+        docs.limit(3)
+        .withColumn("doc_id", F.col("doc_id") + 3_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    both = docs.filter(F.length("text") > 100).unionByName(near)
+    fp = dedup.with_simhash(both)
+    pairs = dedup.simhash_dup_pairs(fp, bands=4).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    planted = {r["doc_id"] for r in near.select("doc_id").collect()}
+    hits = sum(1 for a, b in found if b in planted or a in planted)
+    assert hits >= 2  # simhash catches most of the planted pairs
+    assert all(p["hamming"] < 4 for p in pairs)
+
+
+def test_simhash_identical_texts_equal_fp(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps")],
+        "doc_id long, text string",
+    )
+    fps = [r["simhash"] for r in dedup.with_simhash(df).collect()]
+    assert fps[0] == fps[1]
+
+
+# -------------------------------------------------------------- similarity
+def test_cosine_topk_matches_numpy(embs):
+    rows = embs.collect()
+    q = list(rows[0]["embedding"])
+    got = similarity.cosine_topk(embs, q, k=5).collect()
+    qv = np.array(q)
+    sims = sorted(
+        (
+            (
+                float(
+                    np.dot(r["embedding"], qv)
+                    / (np.linalg.norm(r["embedding"]) * np.linalg.norm(qv))
+                ),
+                r["vec_id"],
+            )
+            for r in rows
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    assert [g["vec_id"] for g in got] == [s[1] for s in sims]
+    assert got[0]["vec_id"] == rows[0]["vec_id"]  # self is most similar
+    for g, s in zip(got, sims):
+        assert abs(g["sim"] - s[0]) < 1e-6
+
+
+def test_ann_topk_finds_planted_neighbors(spark, embs):
+    """The testdata embeddings are near-random (top cosine ≈ 0.33, median 0)
+    so *no* ANN index can have high recall there; the meaningful contract is
+    recall on genuinely-close vectors. Plant 5 near-copies of the query
+    (cosine ≈ 0.999) and require the LSH probe to return all of them."""
+    first = embs.first()
+    q = list(first["embedding"])
+    rng = np.random.RandomState(7)
+    planted = [
+        (10_000 + i, [float(v + 0.01 * rng.randn()) for v in q], 99)
+        for i in range(5)
+    ]
+    both = embs.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>, label int")
+    )
+    got = similarity.ann_topk(both, q, k=6, n_planes=8, multiprobe=True)
+    ids = {r["vec_id"] for r in got.collect()}
+    assert {10_000 + i for i in range(5)} <= ids
+    assert first["vec_id"] in ids
+
+
+def test_ivf_topk_returns_k_and_contains_self(embs):
+    first = embs.first()
+    q = list(first["embedding"])
+    got = similarity.ivf_topk(embs, q, k=5, n_lists=8, n_probe=4).collect()
+    assert len(got) == 5
+    assert got[0]["vec_id"] == first["vec_id"]
+
+
+def test_embedding_near_dup_pairs_planted(spark, embs):
+    twin = embs.limit(3).withColumn("vec_id", F.col("vec_id") + 10_000)
+    both = embs.unionByName(twin)
+    pairs = similarity.embedding_near_dup_pairs(both, threshold=0.999, n_planes=6)
+    got = {(p["id_a"], p["id_b"]) for p in pairs.collect()}
+    expected = {(r["vec_id"], r["vec_id"] + 10_000) for r in embs.limit(3).collect()}
+    assert expected <= got
+
+
+# -------------------------------------------------------------- multimodal
+def test_multimodal_feature_extraction(spark):
+    media = multimodal.generate_fake_media(spark, n=30)
+    out = multimodal.extract_features(media).collect()
+    assert len(out) == 30
+    for r in out:
+        assert len(r["features"]) == 16
+        assert abs(sum(r["features"]) - 1.0) < 1e-3  # histogram sums to 1
+        assert r["n_bytes"] > 0
+    # determinism
+    out2 = multimodal.extract_features(multimodal.generate_fake_media(spark, n=30)).collect()
+    assert {r["media_id"]: r["content_hash"] for r in out} == {
+        r["media_id"]: r["content_hash"] for r in out2
+    }
+
+
+def test_multimodal_frame_plan_and_library_stub(spark):
+    media = multimodal.generate_fake_media(spark, n=9)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    assert rows and all(r["frame_ts_ms"] % 1000 == 0 for r in rows)
+    with pytest.raises(NotImplementedError):
+        multimodal.LibraryDecoder().decode(b"x", "image")
