@@ -1,38 +1,926 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end maintenance cycle (append →
+compact → cluster → MERGE INTO → snapshot expiry → manifest rewrite) on a
+token table derived deterministically from ``sf0.001/documents.parquet``
+and returns the post-maintenance per-source scan summary.
+
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+``(spark, sf_dir) -> DataFrame`` callable; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for each SQL-expressible one.
+
+Oracle-matching strategy for the core maintenance ops: the token table
+``(doc_id, tokens, n_tok, source)`` is derived from the ``documents`` table
+by a pure-arithmetic formula both engines can compute —
+
+    n_tok     = (n_chars % 121) + 8
+    tokens[i] = (doc_id*2654435761 + i*2246822519) % 50257,  i = 1..n_tok
+
+so the *post-maintenance scan* (the reference's replication-fidelity
+contract: byte-identical scans, ``PathToPathMetadata.java:43-69``) can be
+checked against SQL that recomputes the expected rows directly from
+``documents``. Scan equality after compact/cluster/expire/rewrite means the
+query result must equal the identity derivation; after MERGE INTO it must
+equal the CASE-transformed derivation.
+
+Determinism rules used throughout so Spark and DuckDB hash-match:
+- doubles are reduced per-row to integer cents (``round(x*100) -> bigint``)
+  before any aggregation (FP-sum-order-proof);
+- every computed column is aliased identically on both sides;
+- top-k orderings always carry a unique tiebreak key;
+- timestamps are rendered to strings with an explicit format.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+# token-derivation constants (mirrored literally in the oracle SQL)
+_A = 2654435761  # Knuth multiplicative hash
+_B = 2246822519  # xxhash prime 2
+_B2 = 1779033703  # sha-256 iv word — the "updated tokens" generator
+_VOCAB = 50257
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(_t(sf_dir, name))
+
+
+def _cents(col) -> F.Column:
+    """Per-row double → integer cents; FP-aggregation-order-proof."""
+    return F.round(col * 100).cast("long")
+
+
+# --------------------------------------------------------------------------
+# token-table derivation (Spark side of the two-engine formula)
+# --------------------------------------------------------------------------
+
+
+def _token_expr(id_col, n_tok_col, mult: int):
+    return F.transform(
+        F.sequence(F.lit(1), n_tok_col),
+        lambda i: ((id_col * F.lit(_A) + i.cast("long") * F.lit(mult)) % _VOCAB).cast(
+            "int"
+        ),
+    )
+
+
+def tokenized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → deterministic token table (doc_id, tokens, n_tok, source)."""
+    d = _read(spark, sf_dir, "documents")
+    n_tok = (d.n_chars % 121 + 8).cast("int")
+    return d.select(
+        F.format_string("doc-%08d", d.doc_id).alias("doc_id"),
+        _token_expr(d.doc_id, n_tok, _B).alias("tokens"),
+        n_tok.alias("n_tok"),
+        "source",
+    )
+
+
+_TOK_SQL = """
+SELECT printf('doc-%08d', doc_id) AS doc_id,
+       source,
+       CAST((n_chars % 121) + 8 AS BIGINT) AS n_tok,
+       CAST(list_sum([ (doc_id*2654435761 + i*2246822519) % 50257
+                       for i in generate_series(1, (n_chars % 121) + 8) ])
+            AS BIGINT) AS tok_sum
+FROM documents
+"""
+
+
+def _scan_summary(df: DataFrame) -> DataFrame:
+    """Scalar per-row fold of the token table for engine-neutral comparison."""
+    tok_sum = F.aggregate(
+        "tokens", F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
+    )
+    return df.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        tok_sum.alias("tok_sum"),
+    )
+
+
+def _fresh_table(spark: SparkSession, sf_dir: str, n_files: int = 4):
+    """Create a throwaway token table and append the derived rows as many
+    small files (the compaction workload)."""
+    from circus_train_spark.meta.catalog import TokenTable
+
+    root = tempfile.mkdtemp(prefix="cts-entry-")
+    table = TokenTable.create(spark, os.path.join(root, "tbl"))
+    table.append(tokenized_documents(spark, sf_dir), num_files=n_files)
+    return table
+
+
+# --------------------------------------------------------------------- tml_*
+
+
+def q_tml_append_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _fresh_table(spark, sf_dir)
+    return _scan_summary(table.scan())
+
+
+def q_tml_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from circus_train_spark.operators.compact import compact
+
+    table = _fresh_table(spark, sf_dir, n_files=8)
+    compact(table, target_file_bytes=512 * 1024 * 1024, small_file_threshold=None)
+    return _scan_summary(table.scan())
+
+
+def q_tml_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from circus_train_spark.operators.cluster import cluster
+
+    table = _fresh_table(spark, sf_dir)
+    cluster(table, target_file_bytes=64 * 1024 * 1024)
+    return _scan_summary(table.scan())
+
+
+def q_tml_expire_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from circus_train_spark.operators.compact import compact
+    from circus_train_spark.operators.expire import expire_snapshots
+
+    table = _fresh_table(spark, sf_dir, n_files=8)
+    compact(table)
+    expire_snapshots(table, keep_last=1)
+    return _scan_summary(table.scan())
+
+
+def q_tml_manifest_rewrite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from circus_train_spark.operators.manifest_rewrite import rewrite_manifests
+
+    from circus_train_spark.meta.catalog import TokenTable
+
+    root = tempfile.mkdtemp(prefix="cts-entry-")
+    table = TokenTable.create(spark, os.path.join(root, "tbl"))
+    docs = tokenized_documents(spark, sf_dir)
+    # several appends → several manifests → rewrite coalesces them
+    for bucket in range(3):
+        table.append(docs.filter(F.crc32(F.col("doc_id")) % 3 == bucket), num_files=2)
+    rewrite_manifests(table, target_manifests=1)
+    return _scan_summary(table.scan())
+
+
+def q_tml_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO: updates (id%10==3, new token generator), deletes
+    (id%10==7), inserts (id%10==5 shifted by +10_000_000)."""
+    from circus_train_spark.operators.merge import merge_into
+
+    table = _fresh_table(spark, sf_dir)
+    d = _read(spark, sf_dir, "documents")
+
+    upd_src = d.filter(d.doc_id % 10 == 3)
+    upd_ntok = (upd_src.n_chars % 97 + 8).cast("int")
+    upd = upd_src.select(
+        F.format_string("doc-%08d", upd_src.doc_id).alias("doc_id"),
+        _token_expr(upd_src.doc_id, upd_ntok, _B2).alias("tokens"),
+        upd_ntok.alias("n_tok"),
+        "source",
+        F.lit("upsert").alias("_op"),
+    )
+    del_src = d.filter(d.doc_id % 10 == 7)
+    dele = del_src.select(
+        F.format_string("doc-%08d", del_src.doc_id).alias("doc_id"),
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit("delete").alias("_op"),
+    )
+    ins_src = d.filter(d.doc_id % 10 == 5).withColumn(
+        "new_id", d.doc_id + 10_000_000
+    )
+    ins_ntok = (ins_src.n_chars % 121 + 8).cast("int")
+    ins = ins_src.select(
+        F.format_string("doc-%08d", F.col("new_id")).alias("doc_id"),
+        _token_expr(F.col("new_id"), ins_ntok, _B).alias("tokens"),
+        ins_ntok.alias("n_tok"),
+        "source",
+        F.lit("upsert").alias("_op"),
+    )
+    merge_into(table, upd.unionByName(dele).unionByName(ins))
+    return _scan_summary(table.scan())
+
+
+_TML_MERGE_SQL = """
+WITH kept AS (
+  SELECT printf('doc-%08d', doc_id) AS doc_id, source,
+         CAST((n_chars % 121) + 8 AS BIGINT) AS n_tok,
+         CAST(list_sum([ (doc_id*2654435761 + i*2246822519) % 50257
+                         for i in generate_series(1, (n_chars % 121) + 8) ])
+              AS BIGINT) AS tok_sum
+  FROM documents WHERE doc_id % 10 NOT IN (3, 7)
+), upd AS (
+  SELECT printf('doc-%08d', doc_id) AS doc_id, source,
+         CAST((n_chars % 97) + 8 AS BIGINT) AS n_tok,
+         CAST(list_sum([ (doc_id*2654435761 + i*1779033703) % 50257
+                         for i in generate_series(1, (n_chars % 97) + 8) ])
+              AS BIGINT) AS tok_sum
+  FROM documents WHERE doc_id % 10 = 3
+), ins AS (
+  SELECT printf('doc-%08d', doc_id + 10000000) AS doc_id, source,
+         CAST((n_chars % 121) + 8 AS BIGINT) AS n_tok,
+         CAST(list_sum([ ((doc_id + 10000000)*2654435761 + i*2246822519) % 50257
+                         for i in generate_series(1, (n_chars % 121) + 8) ])
+              AS BIGINT) AS tok_sum
+  FROM documents WHERE doc_id % 10 = 5
+)
+SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
+"""
+
+
+# ---------------------------------------------------------------- analytics
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_c"),
+        F.sum(_cents(disc)).alias("sum_disc_c"),
+        F.sum(_cents(disc * (1 + F.col("l_tax")))).alias("sum_charge_c"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _read(spark, sf_dir, "orders")
+    l = _read(spark, sf_dir, "lineitem")
+    rev = F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"))
+        .agg(rev.alias("revenue_c"))
+        .orderBy(F.desc("revenue_c"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q_q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _read(spark, sf_dir, "region")
+    n = _read(spark, sf_dir, "nation")
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    l = _read(spark, sf_dir, "lineitem")
+    rev = F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(rev.alias("revenue_c"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ------------------------------------------------ catalog / diff / planning
+
+
+def q_partition_diff_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-diff 'new partition' branch: left-anti join (customers with no
+    orders ≙ source partitions absent at the replica)."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_partition_semi_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA_UPDATE semi-join branch: keep only already-replicated keys."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def q_partition_diff_changed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Changed partition' branch: checksum mismatch between catalog total
+    and recomputed rollup (orders.o_totalprice vs sum over lineitem)."""
+    o = _read(spark, sf_dir, "orders")
+    l = _read(spark, sf_dir, "lineitem")
+    lsum = l.groupBy("l_orderkey").agg(
+        F.sum(_cents(F.col("l_extendedprice"))).alias("lsum_c")
+    )
+    j = o.join(lsum, o.o_orderkey == lsum.l_orderkey, "inner")
+    return j.select(
+        F.count(F.lit(1)).alias("n_joined"),
+        F.sum(
+            F.when(F.col("lsum_c") != _cents(F.col("o_totalprice")), 1).otherwise(0)
+        ).alias("n_changed"),
+    )
+
+
+def q_checksum_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive path-digest analogue: order-insensitive per-group digest
+    (sorted concat → md5), one digest per partition."""
+    l = _read(spark, sf_dir, "lineitem")
+    v = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
+    return (
+        l.withColumn("_v", v)
+        .groupBy("l_returnflag")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("_v")), lambda x: x.cast("string")
+                    ),
+                )
+            ).alias("digest"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_binpack_nextfit_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced grouping (the reference's uniform-size split planner,
+    ``UniformSizeInputFormat.java:78-125``) as a window plan: size-desc
+    next-fit via running cumulative sum → fixed-capacity bins."""
+    o = _read(spark, sf_dir, "orders")
+    sized = o.select(
+        F.col("o_orderkey").alias("file_id"), _cents(F.col("o_totalprice")).alias("sz")
+    )
+    w = (
+        Window.orderBy(F.desc("sz"), "file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    target = 10_000_000  # bin capacity in cents
+    binned = sized.withColumn(
+        "bin", F.floor((F.sum("sz").over(w) - 1) / target)
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_files"), F.sum("sz").alias("bin_bytes")
+    )
+
+
+def q_merge_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO classification (insert/update/delete/noop) via full-outer
+    join of a synthetic source vs replica catalog, as in the reference's
+    upsert probe + propagate-deletes anti-join."""
+    o = _read(spark, sf_dir, "orders")
+    src = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        (
+            _cents(F.col("o_totalprice"))
+            + F.when(F.col("o_orderkey") % 4 == 0, 1).otherwise(0)
+        ).alias("v"),
+    )
+    rep = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("key"), _cents(F.col("o_totalprice")).alias("v")
+    )
+    j = src.alias("s").join(rep.alias("r"), "key", "full_outer")
+    action = (
+        F.when(F.col("r.v").isNull(), "insert")
+        .when(F.col("s.v").isNull(), "delete")
+        .when(F.col("s.v") != F.col("r.v"), "update")
+        .otherwise("noop")
+    )
+    return j.select(action.alias("action")).groupBy("action").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k newest analogue: rank within partition, deterministic tiebreak."""
+    c = _read(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc(_cents(F.col("c_acctbal"))), "c_custkey"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            _cents(F.col("c_acctbal")).alias("bal_c"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- events
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd HH").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_cents(F.col("value"))).alias("value_c"),
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + running sum — the
+    batch expression of a stateful streaming session window."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = ts_us - F.lag(ts_us).over(w)
+    new_sess = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        e.withColumn("_new", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("_new").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ------------------------------------------------------------ text pipeline
+
+
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ shifted-id copy — a corpus with exact duplicates."""
+    d = _read(spark, sf_dir, "documents")
+    return d.unionByName(d.withColumn("doc_id", d.doc_id + 1_000_000))
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from circus_train_spark.pipeline.dedup import normalized_text
+
+    d = _doubled_docs(spark, sf_dir)
+    return (
+        d.withColumn("_norm", normalized_text(F.col("text")))
+        .groupBy(F.md5("_norm").alias("text_md5"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from circus_train_spark.pipeline.dedup import exact_dedup
+
+    return exact_dedup(_doubled_docs(spark, sf_dir)).select("doc_id", "source")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    ws = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    bpe = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    sym = F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+    toks = F.split(F.lower(t), r"\s+")
+    stops = ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"]
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(stops)))
+    return d.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        sym.cast("long").alias("sym_count"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "von"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "las", "que", "de", "en", "una", "por", "con"],
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, lambda x: x.isin(m))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, m in _LANG_MARKERS.items()
+        ]
+    )
+    best = F.array_max(pairs)
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return d.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from circus_train_spark.pipeline.dedup import normalized_text
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(normalized_text(F.col("text"))).alias("fp"))
+
+
+# ------------------------------------------------------------- similarity
+
+
+def _as_double(col) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _cos(a, b) -> F.Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
+    return dot / (na * nb)
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 query vector."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("q")
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_cos(_as_double(F.col("embedding")), F.col("q")), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+    )
+
+
+def q_sim_pairs_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded pairwise cosine (id-window block join) — near-dup primitive."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), _as_double(F.col("embedding")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.vec_id") > F.col("a.vec_id"))
+            & (F.col("b.vec_id") <= F.col("a.vec_id") + 25),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(_cos(F.col("a.v"), F.col("b.v")), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "id_a", "id_b")
+        .limit(50)
+    )
+
+
+# -------------------------------------- rows-only (non-SQL-expressible) ops
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup removal (xxhash64-based — no DuckDB analogue)."""
+    from circus_train_spark.pipeline.dedup import minhash_dedup
+
+    return minhash_dedup(_doubled_docs(spark, sf_dir), threshold=0.8).select(
+        "doc_id", "source"
+    )
+
+
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from circus_train_spark.pipeline.dedup import with_simhash
+
+    return with_simhash(_read(spark, sf_dir, "documents")).select("doc_id", "simhash")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from circus_train_spark.pipeline.similarity import ann_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ann_topk(e.filter(F.col("vec_id") != 0), list(q), k=10, n_planes=8)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from circus_train_spark.pipeline.similarity import ivf_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(e.filter(F.col("vec_id") != 0), list(q), k=10, n_lists=8, n_probe=4)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: fake media blobs derived from documents,
+    feature-extracted via mapInPandas (deterministic stub decoder)."""
+    from circus_train_spark.pipeline.multimodal import (
+        DeterministicFakeDecoder,
+        extract_features,
+        generate_fake_media,
+    )
+
+    media = generate_fake_media(spark, n=200)
+    return extract_features(media, DeterministicFakeDecoder()).select(
+        "media_id", "kind", "n_bytes", F.size("features").alias("feat_dim")
+    )
+
+
+# --------------------------------------------------------------- the contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full maintenance cycle on sf0.001, per-source scan summary."""
+    from circus_train_spark.operators.cluster import cluster
+    from circus_train_spark.operators.compact import compact
+    from circus_train_spark.operators.expire import expire_snapshots
+    from circus_train_spark.operators.manifest_rewrite import rewrite_manifests
+
+    sf_dir = "/root/testdata/sf0.001"
+    table = _fresh_table(spark, sf_dir, n_files=4)
+    compact(table, target_file_bytes=256 * 1024 * 1024)
+    cluster(table, target_file_bytes=256 * 1024 * 1024)
+    expire_snapshots(table, keep_last=2)
+    rewrite_manifests(table, target_manifests=1)
+    return (
+        _scan_summary(table.scan())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_tok").alias("n_tok_sum"),
+            F.sum("tok_sum").alias("tok_sum_sum"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # token-table maintenance (SURVEY §2 core ops, oracle = derived scan)
+        "tml_append_scan": q_tml_append_scan,
+        "tml_compact_scan": q_tml_compact_scan,
+        "tml_cluster_scan": q_tml_cluster_scan,
+        "tml_expire_scan": q_tml_expire_scan,
+        "tml_manifest_rewrite_scan": q_tml_manifest_rewrite_scan,
+        "tml_merge_scan": q_tml_merge_scan,
+        # analytics
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_revenue_by_nation": q_q5_revenue_by_nation,
+        # catalog / diff / planning (SURVEY §2.3-2.6)
+        "partition_diff_new": q_partition_diff_new,
+        "partition_semi_replicated": q_partition_semi_replicated,
+        "partition_diff_changed": q_partition_diff_changed,
+        "checksum_rollup": q_checksum_rollup,
+        "binpack_nextfit_plan": q_binpack_nextfit_plan,
+        "merge_classify": q_merge_classify,
+        "topk_per_group": q_topk_per_group,
+        # events
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        # text pipeline
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_exact_keep": q_dedup_exact_keep,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        # similarity
+        "sim_topk": q_sim_topk,
+        "sim_pairs_block": q_sim_pairs_block,
+        # rows-only ops
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "simhash_fingerprint": q_simhash_fingerprint,
+        "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok_identity = _TOK_SQL
+    return {
+        "tml_append_scan": tok_identity,
+        "tml_compact_scan": tok_identity,
+        "tml_cluster_scan": tok_identity,
+        "tml_expire_scan": tok_identity,
+        "tml_manifest_rewrite_scan": tok_identity,
+        "tml_merge_scan": _TML_MERGE_SQL,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c,
+                   sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_c,
+                   sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_c,
+                   sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS sum_charge_c,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+                   sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_c
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_date
+            ORDER BY revenue_c DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q5_revenue_by_nation": """
+            SELECT r_name, n_name,
+                   sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_c,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "partition_diff_new": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "partition_semi_replicated": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        """,
+        "partition_diff_changed": """
+            WITH ls AS (
+              SELECT l_orderkey,
+                     sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS lsum_c
+              FROM lineitem GROUP BY l_orderkey)
+            SELECT count(*) AS n_joined,
+                   sum(CASE WHEN lsum_c != CAST(round(o_totalprice*100) AS BIGINT)
+                            THEN 1 ELSE 0 END) AS n_changed
+            FROM orders JOIN ls ON o_orderkey = l_orderkey
+        """,
+        "checksum_rollup": """
+            SELECT l_returnflag,
+                   md5(string_agg(v::varchar, ',' ORDER BY v)) AS digest,
+                   count(*) AS n_rows
+            FROM (SELECT l_returnflag,
+                         CAST(l_orderkey*10 + l_linenumber AS BIGINT) AS v
+                  FROM lineitem)
+            GROUP BY l_returnflag
+        """,
+        "binpack_nextfit_plan": """
+            WITH sized AS (
+              SELECT o_orderkey AS file_id,
+                     CAST(round(o_totalprice*100) AS BIGINT) AS sz
+              FROM orders),
+            binned AS (
+              SELECT sz,
+                     CAST(floor((sum(sz) OVER (ORDER BY sz DESC, file_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                         / 10000000) AS BIGINT) AS bin
+              FROM sized)
+            SELECT bin, count(*) AS n_files, sum(sz) AS bin_bytes
+            FROM binned GROUP BY bin
+        """,
+        "merge_classify": """
+            WITH src AS (
+              SELECT o_orderkey AS key,
+                     CAST(round(o_totalprice*100) AS BIGINT)
+                       + CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END AS v
+              FROM orders WHERE o_orderkey % 2 = 0),
+            rep AS (
+              SELECT o_orderkey AS key,
+                     CAST(round(o_totalprice*100) AS BIGINT) AS v
+              FROM orders WHERE o_orderkey % 3 = 0)
+            SELECT action, count(*) AS n FROM (
+              SELECT CASE WHEN r.v IS NULL THEN 'insert'
+                          WHEN s.v IS NULL THEN 'delete'
+                          WHEN s.v != r.v THEN 'update'
+                          ELSE 'noop' END AS action
+              FROM src s FULL OUTER JOIN rep r ON s.key = r.key)
+            GROUP BY action
+        """,
+        "topk_per_group": """
+            SELECT c_mktsegment, c_custkey, bal_c, rn FROM (
+              SELECT c_mktsegment, c_custkey,
+                     CAST(round(c_acctbal*100) AS BIGINT) AS bal_c,
+                     CAST(row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY CAST(round(c_acctbal*100) AS BIGINT) DESC, c_custkey)
+                     AS BIGINT) AS rn
+              FROM customer)
+            WHERE rn <= 3
+        """,
+        "events_hourly": """
+            SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+                   count(*) AS n,
+                   sum(CAST(round(value*100) AS BIGINT)) AS value_c
+            FROM events GROUP BY event_type, hour
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800*1000000
+                          OR lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events)
+            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "dedup_exact_groups": """
+            WITH d2 AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents)
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_md5,
+                   count(*) AS n_dups, min(doc_id) AS keeper
+            FROM d2
+            GROUP BY text_md5
+            HAVING count(*) > 1
+        """,
+        "dedup_exact_keep": """
+            WITH d2 AS (
+              SELECT doc_id, text, source FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text, source FROM documents),
+            ranked AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                       ORDER BY doc_id) AS rn
+              FROM d2)
+            SELECT doc_id, source FROM ranked WHERE rn = 1
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                        AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+                   CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                        AS BIGINT) AS sym_count,
+                   CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                        x -> x IN ('the','and','of','to','in','is','that','it','was','for')))
+                        AS BIGINT) AS stop_hits
+            FROM documents
+        """,
+        "lang_id": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+              FROM documents),
+            scored AS (
+              SELECT doc_id, lang,
+                     list_max([
+                       {'hits': len(list_filter(tk, x -> x IN
+                          ('the','and','of','to','in','is','that','it','was','for'))),
+                        'lang': 'en'},
+                       {'hits': len(list_filter(tk, x -> x IN
+                          ('der','die','und','das','ist','nicht','ein','mit','den','von'))),
+                        'lang': 'de'},
+                       {'hits': len(list_filter(tk, x -> x IN
+                          ('le','la','les','et','des','est','une','dans','que','pour'))),
+                        'lang': 'fr'},
+                       {'hits': len(list_filter(tk, x -> x IN
+                          ('el','la','los','las','que','de','en','una','por','con'))),
+                        'lang': 'es'}
+                     ]) AS best
+              FROM toks)
+            SELECT doc_id, lang,
+                   CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
+            FROM scored
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "sim_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(embedding::DOUBLE[], qv) /
+                         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(qv, qv))), 4) AS sim
+            FROM embeddings, q
+            WHERE vec_id != 0
+            ORDER BY sim DESC, vec_id
+            LIMIT 10
+        """,
+        "sim_pairs_block": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+            FROM e a JOIN e b
+              ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 25
+            ORDER BY sim DESC, id_a, id_b
+            LIMIT 50
+        """,
+    }

@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Benchmark harness: maintenance suite + headline queries at one scale.
+
+Runs on ``local[$SPARK_GRAFT_CPUS]`` against ``$SPARK_GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) and prints ONE JSON line:
+
+    {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...},
+     "sf": ..., ...extra diagnostics...}
+
+Workload:
+1. **maintenance suite** on a deterministic token table sized from the sf
+   (rows = 6 × |documents|, same data at any parallelism): append as many
+   small files → FFD-compact → Z-order cluster → MERGE INTO → snapshot
+   expire + manifest rewrite → full post-maintenance scan digest. Reports
+   scan sequences/sec and compaction GB/hr (the BASELINE.md north metrics).
+2. **headline queries** from ``__spark_entry__`` directly over the sf
+   parquet tables (analytics, dedup, text, similarity).
+
+``--cpus N`` overrides the core count (used by tools/run_scaling.sh to
+evidence N→4N scaling efficiency on the same input).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+QUERY_NAMES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "checksum_rollup",
+    "merge_classify",
+    "binpack_nextfit_plan",
+    "events_sessionize",
+    "dedup_exact_keep",
+    "text_stats",
+    "lang_id",
+    "sim_topk",
+    "minhash_lsh_dedup",
+]
+
+
+def _force(df) -> int:
+    """Force full computation of every column; returns row count."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return row["n"]
+
+
+def run_maintenance(spark, sf_dir: str, cpus: int) -> dict:
+    from circus_train_spark.meta.catalog import TokenTable
+    from circus_train_spark.operators.cluster import cluster
+    from circus_train_spark.operators.compact import compact
+    from circus_train_spark.operators.expire import expire_snapshots
+    from circus_train_spark.operators.manifest_rewrite import rewrite_manifests
+    from circus_train_spark.operators.merge import merge_into
+    from circus_train_spark.sources.generator import generate_changes, generate_tokens
+
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    n_rows = n_docs * 6
+    out: dict = {"rows": n_rows}
+
+    root = tempfile.mkdtemp(prefix="cts-bench-")
+    table = TokenTable.create(spark, os.path.join(root, "tbl"))
+
+    # fixed generation partitioning → identical bytes at any parallelism
+    df = generate_tokens(spark, n_rows, seed=42, partitions=64)
+
+    t0 = time.monotonic()
+    table.append(df, num_files=32)
+    out["append_s"] = round(time.monotonic() - t0, 3)
+
+    entries = table.manifest_entries()
+    total_bytes = sum(e["file_size"] for e in entries)
+    out["table_gb"] = round(total_bytes / 1e9, 3)
+    # target sized so the plan yields ~2 groups per core (keeps every slot
+    # busy; at cluster scale this would be a fixed 512 MB target instead)
+    target = max(16 * 1024 * 1024, total_bytes // (2 * cpus))
+
+    t0 = time.monotonic()
+    res = compact(
+        table,
+        target_file_bytes=target,
+        max_concurrency=cpus,
+        verify=False,
+    )
+    dt = time.monotonic() - t0
+    out["compact_s"] = round(dt, 3)
+    out["compact_files_in"] = res.files_in
+    out["compact_files_out"] = res.files_out
+    out["compact_gb_per_hr"] = round(res.bytes_in / 1e9 / (dt / 3600), 2)
+
+    t0 = time.monotonic()
+    cluster(table, target_file_bytes=target, verify=False)
+    out["cluster_s"] = round(time.monotonic() - t0, 3)
+
+    changes = generate_changes(spark, n_rows, seed=42)
+    t0 = time.monotonic()
+    merge_into(table, changes, verify=False)
+    out["merge_s"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    expire_snapshots(table, keep_last=1)
+    rewrite_manifests(table, target_manifests=1)
+    out["expire_rewrite_s"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    digest = table.table_digest()
+    dt = time.monotonic() - t0
+    out["scan_s"] = round(dt, 3)
+    out["scan_rows"] = digest["n_rows"]
+    out["scan_seq_per_sec"] = round(digest["n_rows"] / dt, 1)
+
+    table.drop()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument("--skip-maintenance", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    from circus_train_spark.session import get_spark
+
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+
+    wall0 = time.monotonic()
+    result: dict = {"sf": sf, "cpus": cpus}
+
+    queries_out: dict[str, float] = {}
+    if not args.skip_maintenance:
+        t0 = time.monotonic()
+        maint = run_maintenance(spark, sf_dir, cpus)
+        queries_out["maintenance_suite"] = round(time.monotonic() - t0, 3)
+        result.update(maint)
+
+    if not args.skip_queries:
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        for name in QUERY_NAMES:
+            t0 = time.monotonic()
+            _force(qs[name](spark, sf_dir))
+            queries_out[name] = round(time.monotonic() - t0, 3)
+
+    result.update(
+        {
+            "metric": "bench_suite_wall",
+            "value": round(time.monotonic() - wall0, 3),
+            "unit": "sec",
+            "queries": queries_out,
+        }
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

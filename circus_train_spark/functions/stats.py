@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 from circus_train_spark.functions.digest import row_hash
 
 FILE_STATS_SCHEMA = (
-    "file_path string, n_rows long, min_doc_id string, max_doc_id string, "
+    "file_path string, partition string, n_rows long, "
+    "min_doc_id string, max_doc_id string, "
     "min_n_tok int, max_n_tok int, min_zkey long, max_zkey long, xor_digest long"
 )
 
@@ -38,6 +39,7 @@ def _stats_fn(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "file_path": [pdf["_file"].iloc[0]],
+            "partition": [pdf["source"].iloc[0]],
             "n_rows": [len(pdf)],
             "min_doc_id": [pdf["doc_id"].min()],
             "max_doc_id": [pdf["doc_id"].max()],
@@ -51,12 +53,13 @@ def _stats_fn(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def per_file_stats(spark_df_with_file: DataFrame, zkey: bool = False) -> DataFrame:
-    """Compute per-file stats rows.
+    """Compute per-file stats rows in ONE distributed aggregation.
 
-    Input must carry ``_file`` (from ``F.input_file_name()`` or a literal).
-    Output: one row per file, FILE_STATS_SCHEMA.
+    Input must carry ``_file`` (from ``F.input_file_name()``) plus the data
+    columns. Output: one row per file (FILE_STATS_SCHEMA) including the
+    file's partition value (files are single-``source`` by construction).
     """
-    cols = ["_file", "doc_id", "n_tok", row_hash().alias("_h")]
+    cols = ["_file", "doc_id", "n_tok", "source", row_hash().alias("_h")]
     if zkey:
         cols.insert(3, F.col("zkey"))
     pruned = spark_df_with_file.select(*cols)

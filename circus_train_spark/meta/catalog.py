@@ -239,16 +239,7 @@ class TokenTable:
             .select("doc_id", "tokens", "n_tok", "source")
             .withColumn("_file", F.input_file_name())
         )
-        part_of_file = (
-            read.groupBy("_file")
-            .agg(F.first("source").alias("partition"))
-        )
-        stats = per_file_stats(read)
-        rows = (
-            stats.join(part_of_file, stats.file_path == part_of_file._file)
-            .drop("_file")
-            .collect()
-        )
+        rows = per_file_stats(read).collect()
         entries = []
         for r in rows:
             p = _strip_uri(r["file_path"])

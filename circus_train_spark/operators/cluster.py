@@ -164,13 +164,7 @@ def _entries_with_zkey_stats(
         .withColumn("_file", F.input_file_name())
     )
     zread = with_zkey(read, source_codes, n_tok_min, n_tok_max, curve=curve)
-    part_of_file = zread.groupBy("_file").agg(F.first("source").alias("partition"))
-    stats = per_file_stats(zread, zkey=True)
-    rows = (
-        stats.join(part_of_file, stats.file_path == part_of_file._file)
-        .drop("_file")
-        .collect()
-    )
+    rows = per_file_stats(zread, zkey=True).collect()
     entries = []
     for r in rows:
         p = r["file_path"]
