@@ -582,6 +582,73 @@ def q_sim_pairs_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- diff / replication
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-digest diff of a source table vs a constructed replica:
+    'src3' missing at the replica (new), 'src5' stale (changed),
+    'zzz_extra' only at the replica (deleted), rest unchanged."""
+    from circus_train_spark.meta.catalog import TokenTable
+    from circus_train_spark.operators.diff import table_diff
+
+    root = tempfile.mkdtemp(prefix="cts-entry-")
+    docs = tokenized_documents(spark, sf_dir)
+    src = TokenTable.create(spark, os.path.join(root, "src"))
+    src.append(docs, num_files=2)
+
+    d = _read(spark, sf_dir, "documents")
+    stale_ntok = (d.n_chars % 97 + 8).cast("int")
+    stale = d.filter(d.source == "src5").select(
+        F.format_string("doc-%08d", d.doc_id).alias("doc_id"),
+        _token_expr(d.doc_id, stale_ntok, _B2).alias("tokens"),
+        stale_ntok.alias("n_tok"),
+        "source",
+    )
+    rep_df = (
+        docs.filter(~F.col("source").isin("src3", "src5"))
+        .unionByName(stale)
+        .unionByName(
+            docs.filter(F.col("source") == "src0").withColumn(
+                "source", F.lit("zzz_extra")
+            )
+        )
+    )
+    rep = TokenTable.create(spark, os.path.join(root, "rep"))
+    rep.append(rep_df, num_files=2)
+    return table_diff(src, rep)
+
+
+def q_table_replicate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental replication into an empty replica; replica scan must
+    equal the source derivation (the reference's fidelity contract)."""
+    from circus_train_spark.meta.catalog import TokenTable
+    from circus_train_spark.operators.replicate import replicate
+
+    root = tempfile.mkdtemp(prefix="cts-entry-")
+    src = TokenTable.create(spark, os.path.join(root, "src"))
+    src.append(tokenized_documents(spark, sf_dir), num_files=2)
+    rep = TokenTable.create(spark, os.path.join(root, "rep"))
+    replicate(src, rep, mode="incremental")
+    return _scan_summary(rep.scan())
+
+
+_TABLE_DIFF_SQL = """
+WITH src AS (
+  SELECT source AS partition, count(*) AS n FROM documents GROUP BY source)
+SELECT partition,
+       CASE WHEN partition = 'src3' THEN 'new'
+            WHEN partition = 'src5' THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       n AS src_rows,
+       CASE WHEN partition = 'src3' THEN NULL ELSE n END AS rep_rows
+FROM src
+UNION ALL
+SELECT 'zzz_extra', 'deleted', NULL,
+       (SELECT count(*) FROM documents WHERE source = 'src0')
+"""
+
+
 # -------------------------------------- rows-only (non-SQL-expressible) ops
 
 
@@ -667,6 +734,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tml_expire_scan": q_tml_expire_scan,
         "tml_manifest_rewrite_scan": q_tml_manifest_rewrite_scan,
         "tml_merge_scan": q_tml_merge_scan,
+        # diff + replication (the reference's core pipeline)
+        "table_diff": q_table_diff,
+        "table_replicate_scan": q_table_replicate_scan,
         # analytics
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
@@ -709,6 +779,8 @@ def oracle_sql() -> dict[str, str]:
         "tml_expire_scan": tok_identity,
         "tml_manifest_rewrite_scan": tok_identity,
         "tml_merge_scan": _TML_MERGE_SQL,
+        "table_diff": _TABLE_DIFF_SQL,
+        "table_replicate_scan": tok_identity,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c,

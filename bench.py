@@ -67,8 +67,10 @@ def run_maintenance(spark, sf_dir: str, cpus: int) -> dict:
     from circus_train_spark.operators.merge import merge_into
     from circus_train_spark.sources.generator import generate_changes, generate_tokens
 
-    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
-    n_rows = n_docs * 6
+    # size the token table from lineitem (the table that actually scales
+    # with sf): ~1 GB of token data at sf0.1
+    n_li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    n_rows = max(10_000, n_li // 2)
     out: dict = {"rows": n_rows}
 
     root = tempfile.mkdtemp(prefix="cts-bench-")
@@ -145,6 +147,14 @@ def main() -> None:
     spark = get_spark(
         "bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
     )
+
+    # prewarm executor python workers (Arrow/pandas runtime) so one-time
+    # interpreter startup isn't billed to the first measured phase
+    import pandas as pd
+
+    spark.range(cpus * 4, numPartitions=cpus).groupBy("id").applyInPandas(
+        lambda pdf: pdf, schema="id long"
+    ).count()
 
     wall0 = time.monotonic()
     result: dict = {"sf": sf, "cpus": cpus}

@@ -48,7 +48,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # Token arrays are bounded-vocab ints: parquet dictionary+RLE already
+        # compacts them (~2×) and snappy on top buys <1% size for ~2× encode
+        # time (measured at sf0.1: snappy 28.3s/594MB vs uncompressed+dict
+        # 13.9s/599MB). Swap to zstd for cold-storage deployments.
+        .config("spark.sql.parquet.compression.codec", "uncompressed")
         .config("spark.ui.enabled", "false")
         # FAIR scheduling lets concurrent compaction-group rewrite jobs
         # (submitted from a thread pool) share executors instead of FIFO
