@@ -80,7 +80,7 @@ def run_maintenance(spark, sf_dir: str, cpus: int) -> dict:
     df = generate_tokens(spark, n_rows, seed=42, partitions=64)
 
     t0 = time.monotonic()
-    table.append(df, num_files=32)
+    table.append(df, num_files=256)  # deliberately fragmented: compaction input
     out["append_s"] = round(time.monotonic() - t0, 3)
 
     entries = table.manifest_entries()

@@ -1,0 +1,238 @@
+"""spark-submit entry point for every maintenance job.
+
+The reference drives everything through ``circus-train.sh --config=...
+--modules=replication|housekeeping`` plus standalone tools
+(``compare-tables.sh``, ``check-filters.sh``); our equivalent is one CLI
+with subcommands, run as
+
+    spark-submit --py-files circus_train_spark.zip -m circus_train_spark ...
+    # or locally:
+    python -m circus_train_spark <subcommand> --table /path [...]
+
+Subcommands: create · append · compact · cluster · expire ·
+rewrite-manifests · merge · replicate · diff · validate · history.
+
+Each prints one JSON result line (the job metrics the reference emits via
+its listener/metrics pipeline — ``core/event/MetricsListener.java:66-93``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _json(obj) -> None:
+    if dataclasses.is_dataclass(obj):
+        obj = dataclasses.asdict(obj)
+    print(json.dumps(obj, default=str))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="circus_train_spark")
+    p.add_argument("--master", default=None, help="spark master (default: env/local[*])")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("create", help="create an empty token table")
+    sp.add_argument("--table", required=True)
+
+    sp = sub.add_parser("append", help="append synthetic rows (generator)")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--rows", type=int, required=True)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--files", type=int, default=None)
+
+    sp = sub.add_parser("compact", help="FFD bin-packed small-file compaction")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--target-mb", type=int, default=512)
+    sp.add_argument("--partitions", nargs="*", default=None)
+    sp.add_argument("--max-concurrency", type=int, default=8)
+    sp.add_argument("--no-verify", action="store_true")
+    sp.add_argument("--run-id", default=None)
+
+    sp = sub.add_parser("cluster", help="Z-order/Hilbert clustering rewrite")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--target-mb", type=int, default=512)
+    sp.add_argument("--curve", choices=["zorder", "hilbert"], default="zorder")
+    sp.add_argument("--partitions", nargs="*", default=None)
+    sp.add_argument("--no-verify", action="store_true")
+
+    sp = sub.add_parser("expire", help="expire old snapshots + delete orphans")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--keep-last", type=int, default=2)
+    sp.add_argument("--older-than-ms", type=int, default=None)
+    sp.add_argument("--dry-run", action="store_true")
+
+    sp = sub.add_parser("rewrite-manifests", help="coalesce manifest files")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--target", type=int, default=1)
+
+    sp = sub.add_parser("merge", help="MERGE INTO from a changes parquet")
+    sp.add_argument("--table", required=True)
+    sp.add_argument(
+        "--changes", required=True, help="parquet with data columns + _op"
+    )
+    sp.add_argument("--no-verify", action="store_true")
+
+    sp = sub.add_parser("replicate", help="replicate source table → replica")
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--replica", required=True)
+    sp.add_argument(
+        "--mode", choices=["full", "incremental", "metadata"], default="incremental"
+    )
+    sp.add_argument("--partition-filter", default=None)
+    sp.add_argument("--partition-limit", type=int, default=None)
+    sp.add_argument("--propagate-deletes", action="store_true")
+
+    sp = sub.add_parser("diff", help="source-vs-replica partition diff")
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--replica", required=True)
+
+    sp = sub.add_parser("validate", help="metadata-vs-data parity audit")
+    sp.add_argument("--table", required=True)
+
+    sp = sub.add_parser("history", help="snapshot log of a table")
+    sp.add_argument("--table", required=True)
+
+    a = p.parse_args(argv)
+
+    from circus_train_spark.meta.catalog import TokenTable
+    from circus_train_spark.session import get_spark
+
+    spark = get_spark(f"cts-{a.cmd}", master=a.master)
+
+    if a.cmd == "create":
+        t = TokenTable.create(spark, a.table)
+        _json({"created": a.table, "snapshot": t.log.current_id()})
+        return 0
+
+    if a.cmd == "append":
+        from circus_train_spark.sources.generator import generate_tokens
+
+        t = TokenTable.load(spark, a.table)
+        snap = t.append(
+            generate_tokens(spark, a.rows, seed=a.seed), num_files=a.files
+        )
+        _json({"snapshot": snap.snapshot_id, "rows": a.rows})
+        return 0
+
+    if a.cmd == "compact":
+        from circus_train_spark.operators.compact import compact
+
+        t = TokenTable.load(spark, a.table)
+        _json(
+            compact(
+                t,
+                target_file_bytes=a.target_mb * 1024 * 1024,
+                partitions=a.partitions,
+                max_concurrency=a.max_concurrency,
+                verify=not a.no_verify,
+                run_id=a.run_id,
+            )
+        )
+        return 0
+
+    if a.cmd == "cluster":
+        from circus_train_spark.operators.cluster import cluster
+
+        t = TokenTable.load(spark, a.table)
+        _json(
+            cluster(
+                t,
+                target_file_bytes=a.target_mb * 1024 * 1024,
+                partitions=a.partitions,
+                curve=a.curve,
+                verify=not a.no_verify,
+            )
+        )
+        return 0
+
+    if a.cmd == "expire":
+        from circus_train_spark.operators.expire import expire_snapshots
+
+        t = TokenTable.load(spark, a.table)
+        _json(
+            expire_snapshots(
+                t,
+                keep_last=a.keep_last,
+                older_than_ms=a.older_than_ms,
+                dry_run=a.dry_run,
+            )
+        )
+        return 0
+
+    if a.cmd == "rewrite-manifests":
+        from circus_train_spark.operators.manifest_rewrite import rewrite_manifests
+
+        t = TokenTable.load(spark, a.table)
+        _json(rewrite_manifests(t, target_manifests=a.target))
+        return 0
+
+    if a.cmd == "merge":
+        from circus_train_spark.operators.merge import merge_into
+
+        t = TokenTable.load(spark, a.table)
+        changes = spark.read.parquet(a.changes)
+        _json(merge_into(t, changes, verify=not a.no_verify))
+        return 0
+
+    if a.cmd == "replicate":
+        from circus_train_spark.operators.replicate import replicate
+
+        src = TokenTable.load(spark, a.source)
+        try:
+            rep = TokenTable.load(spark, a.replica)
+        except FileNotFoundError:
+            rep = TokenTable.create(spark, a.replica)
+        _json(
+            replicate(
+                src,
+                rep,
+                mode=a.mode,
+                partition_filter=a.partition_filter,
+                partition_limit=a.partition_limit,
+                propagate_deletes=a.propagate_deletes,
+            )
+        )
+        return 0
+
+    if a.cmd == "diff":
+        from circus_train_spark.operators.diff import table_diff
+
+        src = TokenTable.load(spark, a.source)
+        rep = TokenTable.load(spark, a.replica)
+        for r in table_diff(src, rep).orderBy("partition").collect():
+            _json(r.asDict())
+        return 0
+
+    if a.cmd == "validate":
+        from circus_train_spark.operators.validate import validate
+
+        t = TokenTable.load(spark, a.table)
+        res = validate(t)
+        _json(res)
+        return 0 if res.ok else 1
+
+    if a.cmd == "history":
+        t = TokenTable.load(spark, a.table)
+        for sid in t.log.all_snapshot_ids():
+            s = t.log.get(sid)
+            _json(
+                {
+                    "snapshot_id": s.snapshot_id,
+                    "operation": s.operation,
+                    "event_id": s.event_id,
+                    "timestamp_ms": s.timestamp_ms,
+                    "manifests": len(s.manifests),
+                    "summary": s.summary,
+                }
+            )
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

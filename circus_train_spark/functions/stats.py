@@ -55,11 +55,14 @@ def _stats_fn(pdf: pd.DataFrame) -> pd.DataFrame:
 def per_file_stats(spark_df_with_file: DataFrame, zkey: bool = False) -> DataFrame:
     """Compute per-file stats rows in ONE distributed aggregation.
 
-    Input must carry ``_file`` (from ``F.input_file_name()``) plus the data
-    columns. Output: one row per file (FILE_STATS_SCHEMA) including the
-    file's partition value (files are single-``source`` by construction).
+    Input must carry ``_file`` (from ``F.input_file_name()``) and the
+    per-row content hash ``_h`` — either the persisted hidden column
+    (narrow stats read, no token decode) or a freshly computed
+    ``row_hash()``. Output: one row per file (FILE_STATS_SCHEMA) including
+    the file's partition value (files are single-``source`` by
+    construction).
     """
-    cols = ["_file", "doc_id", "n_tok", "source", row_hash().alias("_h")]
+    cols = ["_file", "doc_id", "n_tok", "source", "_h"]
     if zkey:
         cols.insert(3, F.col("zkey"))
     pruned = spark_df_with_file.select(*cols)

@@ -58,3 +58,27 @@ COMMIT_LOCK = "metadata/commit.lock"
 # `source` column stays inside the parquet files themselves — Iceberg-style:
 # partition values live in the manifest, not in path parsing).
 WRITE_PART_COL = "_part"
+
+# Row-content hash persisted as a hidden column in every data file (~0.2%
+# size overhead): manifest stats collection then reads only the narrow
+# columns below — never re-decoding token arrays. Scans use DATA_SCHEMA, so
+# the column is pruned away at the parquet reader and invisible to users.
+ROW_HASH_COL = "_h"
+ZKEY_COL = "zkey"
+
+STATS_READ_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField(ROW_HASH_COL, T.LongType(), True),
+    ]
+)
+
+STATS_READ_SCHEMA_Z = T.StructType(
+    STATS_READ_SCHEMA.fields[:3]
+    + [
+        T.StructField(ZKEY_COL, T.LongType(), True),
+        T.StructField(ROW_HASH_COL, T.LongType(), True),
+    ]
+)

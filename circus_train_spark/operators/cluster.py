@@ -90,19 +90,23 @@ def cluster(
     df = table.scan(files=in_files)
     zdf = with_zkey(df, source_codes, n_tok_min, n_tok_max, curve=curve)
     n_out = max(1, math.ceil(bytes_in / target_file_bytes))
+    from circus_train_spark.functions.digest import row_hash
+
     out = (
         zdf.withColumn("_salt", salt_column(n_salts))
         .repartitionByRange(n_out, F.col("source"), F.col("zkey"), F.col("_salt"))
         .sortWithinPartitions("zkey")
-        .select("doc_id", "tokens", "n_tok", "source")
+        # persist zkey + row hash as hidden columns: the manifest stats pass
+        # below reads ONLY narrow columns — token arrays are never re-decoded
+        # and the zkey pandas UDF never re-runs
+        .select("doc_id", "tokens", "n_tok", "source", S.ZKEY_COL)
+        .withColumn(S.ROW_HASH_COL, row_hash())
         .withColumn(S.WRITE_PART_COL, F.col("source"))
     )
     out_dir = f"{table.data_dir}/{event_id}/clustered"
     out.write.mode("overwrite").partitionBy(S.WRITE_PART_COL).parquet(out_dir)
 
-    added = _entries_with_zkey_stats(
-        table, out_dir, source_codes, n_tok_min, n_tok_max, curve
-    )
+    added = table.collect_entries_for_dir(out_dir, zkey=True)
 
     table.lineage.append(
         LineageRecord(
@@ -144,48 +148,3 @@ def cluster(
     )
 
 
-def _entries_with_zkey_stats(
-    table: TokenTable,
-    out_dir: str,
-    source_codes: dict[str, int],
-    n_tok_min: int,
-    n_tok_max: int,
-    curve: str,
-) -> list[dict]:
-    """Manifest entries incl. min/max zkey (recomputed — deterministic)."""
-    import os
-
-    from circus_train_spark.functions.stats import per_file_stats
-
-    files = table._walk_parquet(out_dir)
-    read = (
-        table.spark.read.schema(S.DATA_SCHEMA)
-        .parquet(*files)
-        .withColumn("_file", F.input_file_name())
-    )
-    zread = with_zkey(read, source_codes, n_tok_min, n_tok_max, curve=curve)
-    rows = per_file_stats(zread, zkey=True).collect()
-    entries = []
-    for r in rows:
-        p = r["file_path"]
-        if p.startswith("file:"):
-            p = p[len("file:") :]
-            while p.startswith("//"):
-                p = p[1:]
-        entries.append(
-            {
-                "file_path": p,
-                "partition": r["partition"],
-                "file_size": os.path.getsize(p),
-                "n_rows": r["n_rows"],
-                "min_doc_id": r["min_doc_id"],
-                "max_doc_id": r["max_doc_id"],
-                "min_n_tok": r["min_n_tok"],
-                "max_n_tok": r["max_n_tok"],
-                "min_zkey": r["min_zkey"],
-                "max_zkey": r["max_zkey"],
-                "xor_digest": r["xor_digest"],
-                "added_snapshot_id": -1,
-            }
-        )
-    return sorted(entries, key=lambda e: e["file_path"])

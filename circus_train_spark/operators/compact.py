@@ -56,20 +56,67 @@ class CompactionResult:
     duration_s: float
 
 
+import pyspark.sql.types as T
+
+# rewrite schema: data columns + the persisted hidden columns (row hash,
+# clustering key) carried through verbatim so output stats derive from the
+# input manifest entries with zero post-write scanning
+_REWRITE_SCHEMA = T.StructType(
+    S.DATA_SCHEMA.fields
+    + [
+        T.StructField(S.ZKEY_COL, T.LongType(), True),
+        T.StructField(S.ROW_HASH_COL, T.LongType(), True),
+    ]
+)
+
+
+def _derive_group_entry(group: FileGroup, in_entries: list[dict], out_path: str) -> dict:
+    """A bin-pack rewrite is row-preserving, so every manifest stat of the
+    output file is a pure fold of the inputs' stats (xor digests compose);
+    only the physical size comes from the filesystem."""
+    xor = 0
+    for e in in_entries:
+        xor ^= e["xor_digest"] or 0
+
+    def _mm(key, fn):
+        vals = [e[key] for e in in_entries if e[key] is not None]
+        return fn(vals) if vals else None
+
+    return {
+        "file_path": out_path,
+        "partition": group.partition,
+        "file_size": os.path.getsize(out_path),
+        "n_rows": sum(e["n_rows"] for e in in_entries),
+        "min_doc_id": _mm("min_doc_id", min),
+        "max_doc_id": _mm("max_doc_id", max),
+        "min_n_tok": _mm("min_n_tok", min),
+        "max_n_tok": _mm("max_n_tok", max),
+        "min_zkey": _mm("min_zkey", min),
+        "max_zkey": _mm("max_zkey", max),
+        "xor_digest": xor,
+        "added_snapshot_id": -1,
+    }
+
+
 def _rewrite_group(
-    table: TokenTable, group: FileGroup, event_id: str
+    table: TokenTable, group: FileGroup, entry_by_path: dict[str, dict], event_id: str
 ) -> tuple[FileGroup, list[dict], float]:
     """Read the group's files and write them back as one file. Runs in a
     driver worker thread; the heavy lifting is one single-task Spark job."""
     t0 = time.monotonic()
     out_dir = os.path.join(table.data_dir, event_id, f"g-{group.group_id}")
     df = (
-        table.spark.read.schema(S.DATA_SCHEMA)
+        table.spark.read.schema(_REWRITE_SCHEMA)
         .parquet(*group.files)
         .withColumn(S.WRITE_PART_COL, F.col("source"))
     )
     df.coalesce(1).write.mode("overwrite").partitionBy(S.WRITE_PART_COL).parquet(out_dir)
-    entries = table.collect_entries_for_dir(out_dir)
+    out_files = table._walk_parquet(out_dir)
+    in_entries = [entry_by_path[p] for p in group.files]
+    if len(out_files) == 1 and all(e["xor_digest"] is not None for e in in_entries):
+        entries = [_derive_group_entry(group, in_entries, out_files[0])]
+    else:  # multi-partition group or foreign inputs: measure from data
+        entries = table.collect_entries_for_files(out_files, zkey=True)
     return group, entries, time.monotonic() - t0
 
 
@@ -115,9 +162,13 @@ def compact(
         all_added.extend(table.collect_entries_for_files(rec.files_out))
         removed.update(g.files)
 
+    entry_by_path = {e["file_path"]: e for e in entries}
     rows_total = 0
     with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
-        futures = [pool.submit(_rewrite_group, table, g, event_id) for g in todo]
+        futures = [
+            pool.submit(_rewrite_group, table, g, entry_by_path, event_id)
+            for g in todo
+        ]
         for fut in futures:
             g, entries_out, dur = fut.result()
             all_added.extend(entries_out)

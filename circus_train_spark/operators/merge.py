@@ -158,12 +158,14 @@ def merge_into(
 
     touched_set = set(touched)
     rewritten_bytes = sum(e["file_size"] for e in entries if e["file_path"] in touched_set)
-    n_out = max(1, round((rewritten_bytes or 1) / (64 * 1024 * 1024)))
-    # keep the rewrite as wide as the cluster unless files would get tiny
-    par = table.spark.sparkContext.defaultParallelism
-    if rewritten_bytes // max(par, 1) >= 8 * 1024 * 1024:
-        n_out = max(n_out, par)
-    added = table.write_data_files(out, event_id, num_files=n_out, sub_dir="merged")
+    # shuffle-free copy-on-write: the scan of touched (single-source) files
+    # already groups rows by source within tasks, so the dynamic-partition
+    # writer streams them straight out — no exchange of the wide token rows.
+    # Write parallelism = scan split count; stray small files are the
+    # compaction operator's job, not the merge's.
+    added = table.write_data_files(
+        out, event_id, num_files=None, sub_dir="merged", shuffle=False
+    )
 
     table.lineage.append(
         LineageRecord(

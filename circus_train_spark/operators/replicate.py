@@ -150,8 +150,10 @@ def replicate(
             bytes_in = sum(e["file_size"] for e in src_entries)
             n_out = max(1, -(-bytes_in // target_file_bytes))
             df = source.scan(files=in_files)
+            # shuffle-free copy: source files are single-source, so coalesced
+            # read splits stream rows source-contiguously into the writers
             added = replica.write_data_files(
-                df, event_id, num_files=n_out, sub_dir="replicated"
+                df, event_id, num_files=n_out, sub_dir="replicated", shuffle=False
             )
 
     by_part_in: dict[str, list[dict]] = {}

@@ -62,7 +62,8 @@ def test_compact_resume_skips_completed_groups(spark, tmp_path, tokens_df):
     groups = plan_compaction_groups(entries, 64 * 1024 * 1024)
     assert len(groups) >= 2
     # complete the first group only, as a crashed run would have
-    g0, out_entries, dur = _rewrite_group(t, groups[0], "crashed-run")
+    entry_by_path = {e["file_path"]: e for e in entries}
+    g0, out_entries, dur = _rewrite_group(t, groups[0], entry_by_path, "crashed-run")
     t.lineage.append(
         LineageRecord(
             run_id="crashed-run",

@@ -1,0 +1,47 @@
+"""Summarize BENCH_SCALING.jsonl into the N→4N efficiency table."""
+
+from __future__ import annotations
+
+import json
+
+PHASES = ["append_s", "compact_s", "cluster_s", "merge_s", "scan_s"]
+
+
+def load(path: str = "BENCH_SCALING.jsonl"):
+    rows = [json.loads(l) for l in open(path) if l.strip()]
+    by: dict[int, list[dict]] = {}
+    for r in rows:
+        by.setdefault(r["cpus"], []).append(r)
+    return by
+
+
+def summarize(by=None) -> str:
+    by = by or load()
+    mins = {
+        c: {p: min(r[p] for r in runs) for p in PHASES} for c, runs in by.items()
+    }
+    a, b = mins[8], mins[32]
+    lines = [
+        f"| {'phase':14} | local[8] s | local[32] s | speedup | efficiency |",
+        "|---|---|---|---|---|",
+    ]
+    for p in PHASES:
+        sp = a[p] / b[p]
+        lines.append(
+            f"| {p:14} | {a[p]:.1f} | {b[p]:.1f} | {sp:.2f}x | {sp / 4:.2f} |"
+        )
+    ta, tb = sum(a[p] for p in PHASES), sum(b[p] for p in PHASES)
+    lines.append(
+        f"| {'TOTAL':14} | {ta:.1f} | {tb:.1f} | {ta / tb:.2f}x | {ta / tb / 4:.2f} |"
+    )
+    r32 = [r for r in by[32]]
+    best = max(r["scan_seq_per_sec"] for r in r32)
+    gbhr = max(r["compact_gb_per_hr"] for r in r32)
+    lines.append("")
+    lines.append(f"Best local[32] scan throughput: {best:,.0f} sequences/sec")
+    lines.append(f"Best local[32] compaction throughput: {gbhr:,.1f} GB/hr")
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    print(summarize())
