@@ -68,9 +68,15 @@ def run_maintenance(spark, sf_dir: str, cpus: int) -> dict:
     from circus_train_spark.sources.generator import generate_changes, generate_tokens
 
     # size the token table from lineitem (the table that actually scales
-    # with sf): ~1 GB of token data at sf0.1
-    n_li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-    n_rows = max(10_000, n_li // 2)
+    # with sf): ~1 GB of token data at sf0.1. SPARK_GRAFT_BENCH_ROWS
+    # overrides (the scaling harness uses a larger fixed size so phases are
+    # compute-bound, not job-overhead-bound).
+    env_rows = os.environ.get("SPARK_GRAFT_BENCH_ROWS")
+    if env_rows:
+        n_rows = int(env_rows)
+    else:
+        n_li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+        n_rows = max(10_000, n_li // 2)
     out: dict = {"rows": n_rows}
 
     root = tempfile.mkdtemp(prefix="cts-bench-")
@@ -86,9 +92,11 @@ def run_maintenance(spark, sf_dir: str, cpus: int) -> dict:
     entries = table.manifest_entries()
     total_bytes = sum(e["file_size"] for e in entries)
     out["table_gb"] = round(total_bytes / 1e9, 3)
-    # target sized so the plan yields ~2 groups per core (keeps every slot
-    # busy; at cluster scale this would be a fixed 512 MB target instead)
-    target = max(16 * 1024 * 1024, total_bytes // (2 * cpus))
+    # FIXED target regardless of parallelism: the scaling comparison must
+    # run the identical job config at both cluster sizes (a cpu-dependent
+    # target silently equalizes wall time by construction). 64 MB yields
+    # enough groups/ranges to occupy 32 slots at the bench data size.
+    target = 64 * 1024 * 1024
 
     t0 = time.monotonic()
     res = compact(

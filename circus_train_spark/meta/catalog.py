@@ -154,6 +154,24 @@ class TokenTable:
         return path
 
     # ---------------------------------------------------------------- scans
+    def select_partitions(
+        self,
+        partition_filter: str | None = None,
+        limit: int | None = None,
+        snapshot_id: int | None = None,
+    ) -> list[str]:
+        """Partitions matching a SQL boolean over ``partition``, newest
+        first, capped at ``limit`` — the HIVE-1609 partition-predicate scan
+        (``core/HiveEndpoint.java:147-174``; grammar ``README.md:239-246``)
+        with Catalyst as the predicate parser instead of the metastore."""
+        sel = self.manifest_df(snapshot_id).select("partition").distinct()
+        if partition_filter:
+            sel = sel.filter(F.expr(partition_filter))
+        sel = sel.orderBy(F.desc("partition"))
+        if limit is not None:
+            sel = sel.limit(limit)
+        return [r["partition"] for r in sel.collect()]
+
     def file_paths(
         self, snapshot_id: int | None = None, partitions: Iterable[str] | None = None
     ) -> list[str]:
@@ -168,8 +186,19 @@ class TokenTable:
         snapshot_id: int | None = None,
         partitions: Iterable[str] | None = None,
         files: list[str] | None = None,
+        partition_filter: str | None = None,
+        partition_limit: int | None = None,
     ) -> DataFrame:
-        """Snapshot-pinned read. Returns an empty DF for an empty table."""
+        """Snapshot-pinned read. Returns an empty DF for an empty table.
+
+        Partition pruning happens against the manifest before any data file
+        is opened; ``partition_filter`` is a SQL boolean over ``partition``.
+        """
+        if partition_filter or partition_limit is not None:
+            sel = self.select_partitions(
+                partition_filter, partition_limit, snapshot_id
+            )
+            partitions = sel if partitions is None else set(partitions) & set(sel)
         paths = (
             files if files is not None else self.file_paths(snapshot_id, partitions)
         )

@@ -151,8 +151,14 @@ def merge_into(
     survivors = None
     if touched:
         survivors = table.scan(files=touched).join(keyside(keys), "doc_id", "left_anti")
-    upsert_rows = changes.filter(F.col("_op") == "upsert").select(
-        "doc_id", "tokens", "n_tok", "source"
+    # squeeze the (small) upsert side into few source-sorted partitions so
+    # the union doesn't fan tiny writer files across every (task, source)
+    n_up_parts = max(1, n_upserts // 100_000)
+    upsert_rows = (
+        changes.filter(F.col("_op") == "upsert")
+        .select("doc_id", "tokens", "n_tok", "source")
+        .repartition(n_up_parts)
+        .sortWithinPartitions("source")
     )
     out = upsert_rows if survivors is None else survivors.unionByName(upsert_rows)
 

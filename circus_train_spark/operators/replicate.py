@@ -89,13 +89,11 @@ def replicate(
     rep_snap = replica.current_snapshot()
 
     # ---- partition selection (predicate + limit over the manifest)
-    sel = source.manifest_df(src_snap.snapshot_id).select("partition").distinct()
-    if partition_filter:
-        sel = sel.filter(F.expr(partition_filter))
-    sel = sel.orderBy(F.desc("partition"))
-    if partition_limit is not None:
-        sel = sel.limit(partition_limit)
-    selected = sorted(r["partition"] for r in sel.collect())
+    selected = sorted(
+        source.select_partitions(
+            partition_filter, partition_limit, src_snap.snapshot_id
+        )
+    )
 
     dropped: list[str] = []
     if mode == "incremental":

@@ -1,0 +1,86 @@
+"""Structured Streaming ingest into a token table — ACID micro-batches.
+
+The reference is strictly batch (``Locomotive.java:50-58``; event-driven
+replication is delegated to the external Shunting Yard project). Our engine
+adds the lakehouse-native equivalent: a ``foreachBatch`` sink that turns
+each micro-batch into one atomic snapshot commit, made **exactly-once** by
+recording the micro-batch id in the lineage log — a redelivered batch
+(Spark restarts replay the last uncommitted batch) is detected and skipped,
+the same idempotency-by-deterministic-id posture as compaction resume.
+
+Works with any streaming DataFrame of the data schema: file streams
+(``spark.readStream.schema(...).parquet(dir)``), rate sources mapped to
+synthetic rows, Kafka after parsing, etc. Use ``availableNow=True`` for
+catch-up/batch-drain semantics, or a processing-time trigger for continuous
+tailing; late data needs no watermark here because appends are
+order-agnostic (ordering/clustering is the cluster operator's job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from circus_train_spark.meta.catalog import TokenTable
+from circus_train_spark.meta.lineage import STATUS_DONE, LineageRecord
+
+OP = "stream_ingest"
+
+
+def ingest_stream(
+    table: TokenTable,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    num_files: int | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Start a streaming query appending micro-batches to ``table``.
+
+    Returns the ``StreamingQuery``; callers ``awaitTermination()`` it.
+    Each batch becomes one snapshot (operation ``append``) plus one lineage
+    record keyed ``batch-<id>`` — the exactly-once marker.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        gid = f"batch-{batch_id}"
+        done = {
+            r.group_id
+            for r in table.lineage.records(OP)
+            if r.status == STATUS_DONE
+        }
+        if gid in done:  # redelivery after restart — already committed
+            return
+        snap = table.append(
+            batch_df.select("doc_id", "tokens", "n_tok", "source"),
+            num_files=num_files,
+        )
+        entries = [
+            e
+            for e in table.manifest_entries(snap.snapshot_id)
+            if e["added_snapshot_id"] == snap.snapshot_id
+        ]
+        table.lineage.append(
+            LineageRecord(
+                run_id=snap.event_id,
+                operation=OP,
+                group_id=gid,
+                partition=None,
+                files_in=[],
+                files_out=[e["file_path"] for e in entries],
+                rows=sum(e["n_rows"] for e in entries),
+                bytes_in=0,
+                bytes_out=sum(e["file_size"] for e in entries),
+                status=STATUS_DONE,
+            )
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -109,3 +109,13 @@ def test_commit_conflict(table, tokens_df):
             added=[],
             expected_parent_id=base,
         )
+
+
+def test_scan_partition_predicate_and_limit(spark, tmp_path, tokens_df):
+    t = TokenTable.create(spark, str(tmp_path / "tblp"))
+    t.append(tokens_df, num_files=4)
+    parts = t.select_partitions("partition LIKE 'w%'")
+    assert parts == ["wiki", "web"]  # newest-first ordering
+    df = t.scan(partition_filter="partition IN ('web', 'books')", partition_limit=1)
+    seen = {r["source"] for r in df.select("source").distinct().collect()}
+    assert seen == {"web"}

@@ -1,0 +1,41 @@
+"""Streaming ingest: exactly-once micro-batch appends."""
+
+from circus_train_spark.meta import schema as S
+from circus_train_spark.meta.catalog import TokenTable
+from circus_train_spark.streaming.ingest import ingest_stream
+
+
+def _start(spark, src_dir, table, ckpt):
+    stream = (
+        spark.readStream.schema(S.DATA_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    return ingest_stream(table, stream, ckpt, num_files=1)
+
+
+def test_stream_ingest_exactly_once(spark, tmp_path, tokens_df):
+    src_dir = str(tmp_path / "incoming")
+    tokens_df.limit(1200).repartition(6).write.mode("overwrite").parquet(src_dir)
+    t = TokenTable.create(spark, str(tmp_path / "tbl"))
+    ckpt = str(tmp_path / "ckpt")
+
+    q = _start(spark, src_dir, t, ckpt)
+    q.awaitTermination(120)
+    assert t.scan().count() == 1200
+    n_snaps = len(t.log.all_snapshot_ids())
+    assert n_snaps > 2  # several micro-batches → several commits
+
+    # restart over the same checkpoint: nothing new → no duplicate rows
+    q2 = _start(spark, src_dir, t, ckpt)
+    q2.awaitTermination(120)
+    assert t.scan().count() == 1200
+
+    # new files arrive → only the delta is ingested
+    tokens_df.limit(1500).subtract(tokens_df.limit(1200)).write.mode("append").parquet(
+        src_dir
+    )
+    q3 = _start(spark, src_dir, t, ckpt)
+    q3.awaitTermination(120)
+    assert t.scan().count() == 1500
+    assert t.scan().select("doc_id").distinct().count() == 1500
