@@ -88,6 +88,22 @@ class TokenTable:
         self.lineage = LineageLog(self.root)
         self.data_dir = os.path.join(self.root, S.DATA_DIR)
         self.manifest_dir = os.path.join(self.root, S.MANIFEST_DIR)
+        # extension points (reference: TableTransformation /
+        # listener plugins — circus-train-api/.../metadata/*.java,
+        # .../event/*.java, SNS example SnsListener.java):
+        # entry transforms rewrite manifest entries before they are
+        # committed; commit listeners observe every new snapshot.
+        self.entry_transforms: list = []
+        self.commit_listeners: list = []
+
+    def on_commit(self, fn) -> None:
+        """Register ``fn(snapshot)`` to run after every successful commit."""
+        self.commit_listeners.append(fn)
+
+    def add_entry_transform(self, fn) -> None:
+        """Register ``fn(entry_dict) -> entry_dict`` applied to every added
+        manifest entry before commit (metadata rewrite hook)."""
+        self.entry_transforms.append(fn)
 
     # ------------------------------------------------------------------ DDL
     @classmethod
@@ -173,12 +189,33 @@ class TokenTable:
         return [r["partition"] for r in sel.collect()]
 
     def file_paths(
-        self, snapshot_id: int | None = None, partitions: Iterable[str] | None = None
+        self,
+        snapshot_id: int | None = None,
+        partitions: Iterable[str] | None = None,
+        doc_id_range: tuple[str, str] | None = None,
+        n_tok_range: tuple[int, int] | None = None,
     ) -> list[str]:
+        """Live file list with manifest-level pruning: partition values plus
+        per-file [min, max] stats intersection (the payoff of Z-order
+        clustering — range predicates skip whole files before any data
+        read). Files with missing stats are conservatively kept."""
         entries = self.manifest_entries(snapshot_id)
         if partitions is not None:
             keep = set(partitions)
             entries = [e for e in entries if e["partition"] in keep]
+
+        def _hits(e: dict, lo, hi, mn_k: str, mx_k: str) -> bool:
+            mn, mx = e[mn_k], e[mx_k]
+            if mn is None or mx is None:
+                return True
+            return mx >= lo and mn <= hi
+
+        if doc_id_range is not None:
+            lo, hi = doc_id_range
+            entries = [e for e in entries if _hits(e, lo, hi, "min_doc_id", "max_doc_id")]
+        if n_tok_range is not None:
+            lo, hi = n_tok_range
+            entries = [e for e in entries if _hits(e, lo, hi, "min_n_tok", "max_n_tok")]
         return [e["file_path"] for e in entries]
 
     def scan(
@@ -188,11 +225,15 @@ class TokenTable:
         files: list[str] | None = None,
         partition_filter: str | None = None,
         partition_limit: int | None = None,
+        doc_id_range: tuple[str, str] | None = None,
+        n_tok_range: tuple[int, int] | None = None,
     ) -> DataFrame:
         """Snapshot-pinned read. Returns an empty DF for an empty table.
 
-        Partition pruning happens against the manifest before any data file
-        is opened; ``partition_filter`` is a SQL boolean over ``partition``.
+        Partition pruning and min/max file skipping happen against the
+        manifest before any data file is opened; ``partition_filter`` is a
+        SQL boolean over ``partition``. Range arguments prune files but do
+        NOT filter rows — callers still apply their row predicate.
         """
         if partition_filter or partition_limit is not None:
             sel = self.select_partitions(
@@ -200,7 +241,9 @@ class TokenTable:
             )
             partitions = sel if partitions is None else set(partitions) & set(sel)
         paths = (
-            files if files is not None else self.file_paths(snapshot_id, partitions)
+            files
+            if files is not None
+            else self.file_paths(snapshot_id, partitions, doc_id_range, n_tok_range)
         )
         if not paths:
             return self.spark.createDataFrame([], S.DATA_SCHEMA)
@@ -362,6 +405,8 @@ class TokenTable:
             manifests = list(self.snapshot(expected_parent_id).manifests)
         added = added or []
         if added:
+            for t in self.entry_transforms:
+                added = [t(dict(e)) for e in added]
             for e in added:
                 e["added_snapshot_id"] = new_sid
             manifests.append(self.write_manifest(added))
@@ -370,13 +415,16 @@ class TokenTable:
         summary.setdefault("removed_files", len(removed_paths))
         summary.setdefault("added_rows", sum(e["n_rows"] for e in added))
         summary.setdefault("added_bytes", sum(e["file_size"] for e in added))
-        return self.log.commit(
+        snap = self.log.commit(
             expected_parent_id=expected_parent_id,
             event_id=event_id,
             operation=operation,
             manifests=manifests,
             summary=summary,
         )
+        for fn in self.commit_listeners:
+            fn(snap)
+        return snap
 
     def append(self, df: DataFrame, num_files: int | None = None) -> Snapshot:
         event_id = new_event_id()

@@ -119,3 +119,22 @@ def test_scan_partition_predicate_and_limit(spark, tmp_path, tokens_df):
     df = t.scan(partition_filter="partition IN ('web', 'books')", partition_limit=1)
     seen = {r["source"] for r in df.select("source").distinct().collect()}
     assert seen == {"web"}
+
+
+def test_commit_hooks(spark, tmp_path, tokens_df):
+    """Extension points: entry transforms rewrite manifest entries before
+    commit; listeners observe each snapshot (reference: TableTransformation
+    plugins + replication listeners)."""
+    t = TokenTable.create(spark, str(tmp_path / "tblh"))
+    seen = []
+    t.on_commit(lambda s: seen.append((s.snapshot_id, s.operation)))
+
+    def uppercase_partition(e):
+        e["partition"] = (e["partition"] or "").upper()
+        return e
+
+    t.add_entry_transform(uppercase_partition)
+    t.append(tokens_df.limit(200), num_files=1)
+    assert seen and seen[-1][1] == "append"
+    parts = {e["partition"] for e in t.manifest_entries()}
+    assert parts and all(p == p.upper() for p in parts)

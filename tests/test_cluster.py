@@ -106,3 +106,28 @@ def test_cluster_improves_ntok_skipping(loaded_table):
     after = t.manifest_entries()
     span_after = sum(e["max_n_tok"] - e["min_n_tok"] for e in after) / len(after)
     assert span_after < span_before
+
+
+def test_cluster_enables_file_skipping(spark, tmp_path, tokens_df):
+    """After Z-order clustering, a narrow n_tok range prunes most files via
+    manifest min/max stats, and the pruned scan returns exactly the same
+    rows as the full scan filtered row-wise."""
+    from circus_train_spark.meta.catalog import TokenTable
+    from circus_train_spark.operators.cluster import cluster
+    from pyspark.sql import functions as F
+
+    t = TokenTable.create(spark, str(tmp_path / "tbl_skip"))
+    t.append(tokens_df, num_files=8)
+    cluster(t, target_file_bytes=1 * 1024 * 1024, verify=False)
+
+    all_files = t.file_paths()
+    pruned = t.file_paths(n_tok_range=(2000, 4096))
+    assert len(pruned) < len(all_files)
+
+    expected = t.scan().filter(F.col("n_tok").between(2000, 4096)).count()
+    got = (
+        t.scan(n_tok_range=(2000, 4096))
+        .filter(F.col("n_tok").between(2000, 4096))
+        .count()
+    )
+    assert got == expected > 0

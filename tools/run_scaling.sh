@@ -11,7 +11,7 @@ SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 ITERS="${ITERS:-2}"
 OUT="BENCH_SCALING.jsonl"
 : > "$OUT"
-for CPUS in 8 32; do
+for CPUS in ${LEVELS:-"2 8"}; do
   for I in $(seq 1 "$ITERS"); do
     echo "=== cpus=$CPUS iter=$I sf_dir=$SF_DIR $(date -u +%H:%M:%S) loadavg=$(cut -d' ' -f1-3 /proc/loadavg) ===" >&2
     SPARK_GRAFT_SF_DIR="$SF_DIR" python bench.py --cpus "$CPUS" --skip-queries 2>/dev/null \

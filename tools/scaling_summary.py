@@ -20,9 +20,10 @@ def summarize(by=None) -> str:
     mins = {
         c: {p: min(r[p] for r in runs) for p in PHASES} for c, runs in by.items()
     }
-    a, b = mins[8], mins[32]
+    lo, hi = sorted(mins)
+    a, b = mins[lo], mins[hi]
     lines = [
-        f"| {'phase':14} | local[8] s | local[32] s | speedup | efficiency |",
+        (f"| {'phase':14} | local[{lo}] s | local[{hi}] s | speedup | efficiency |"),
         "|---|---|---|---|---|",
     ]
     for p in PHASES:
@@ -34,12 +35,12 @@ def summarize(by=None) -> str:
     lines.append(
         f"| {'TOTAL':14} | {ta:.1f} | {tb:.1f} | {ta / tb:.2f}x | {ta / tb / 4:.2f} |"
     )
-    r32 = [r for r in by[32]]
-    best = max(r["scan_seq_per_sec"] for r in r32)
-    gbhr = max(r["compact_gb_per_hr"] for r in r32)
+    hi_runs = by[hi]
+    best = max(r["scan_seq_per_sec"] for r in hi_runs)
+    gbhr = max(r["compact_gb_per_hr"] for r in hi_runs)
     lines.append("")
-    lines.append(f"Best local[32] scan throughput: {best:,.0f} sequences/sec")
-    lines.append(f"Best local[32] compaction throughput: {gbhr:,.1f} GB/hr")
+    lines.append(f"Best local[{hi}] scan throughput: {best:,.0f} sequences/sec")
+    lines.append(f"Best local[{hi}] compaction throughput: {gbhr:,.1f} GB/hr")
     return "\n".join(lines)
 
 
