@@ -783,10 +783,10 @@ def oracle_sql() -> dict[str, str]:
         "table_replicate_scan": tok_identity,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c,
-                   sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_c,
-                   sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_c,
-                   sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS sum_charge_c,
+                   CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+                   CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+                   CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -794,7 +794,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
-                   sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_c
+                   CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -805,7 +805,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_revenue_by_nation": """
             SELECT r_name, n_name,
-                   sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_c,
+                   CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
                    count(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -829,8 +829,8 @@ def oracle_sql() -> dict[str, str]:
                      sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS lsum_c
               FROM lineitem GROUP BY l_orderkey)
             SELECT count(*) AS n_joined,
-                   sum(CASE WHEN lsum_c != CAST(round(o_totalprice*100) AS BIGINT)
-                            THEN 1 ELSE 0 END) AS n_changed
+                   CAST(sum(CASE WHEN lsum_c != CAST(round(o_totalprice*100) AS BIGINT)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
             FROM orders JOIN ls ON o_orderkey = l_orderkey
         """,
         "checksum_rollup": """
@@ -853,7 +853,7 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
                          / 10000000) AS BIGINT) AS bin
               FROM sized)
-            SELECT bin, count(*) AS n_files, sum(sz) AS bin_bytes
+            SELECT bin, count(*) AS n_files, CAST(sum(sz) AS BIGINT) AS bin_bytes
             FROM binned GROUP BY bin
         """,
         "merge_classify": """
@@ -888,7 +888,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
                    count(*) AS n,
-                   sum(CAST(round(value*100) AS BIGINT)) AS value_c
+                   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
             FROM events GROUP BY event_type, hour
         """,
         "events_sessionize": """
@@ -901,7 +901,7 @@ def oracle_sql() -> dict[str, str]:
                             PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                           THEN 1 ELSE 0 END AS new_sess
               FROM events)
-            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id
         """,
         "dedup_exact_groups": """

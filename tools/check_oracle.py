@@ -65,14 +65,34 @@ def main():
                 print(f"FAIL  {name}: zero rows from rows-only query")
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = [str(t).upper() for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             continue
         ok = True
+        # physical-type parity: the driver hashes typed values, so a DuckDB
+        # HUGEINT vs Spark BIGINT mismatch fails even when values are equal.
+        sp_types = dict(df.dtypes)
+        dk_types = dict(zip(ocols, otypes))
+        _EQ = {
+            "bigint": {"BIGINT", "INTEGER"},
+            "int": {"INTEGER"},
+            "double": {"DOUBLE", "FLOAT"},
+            "string": {"VARCHAR"},
+            "boolean": {"BOOLEAN"},
+            "date": {"DATE"},
+            "timestamp": {"TIMESTAMP"},
+        }
+        for c in cols:
+            want = _EQ.get(sp_types.get(c, ""), None)
+            got = dk_types.get(c)
+            if want is not None and got is not None and got not in want:
+                ok = False
+                print(f"FAIL  {name}: column {c} type spark={sp_types[c]} duckdb={got}")
         if sorted(cols) != sorted(ocols):
             ok = False
             print(f"FAIL  {name}: columns {sorted(cols)} vs oracle {sorted(ocols)}")
