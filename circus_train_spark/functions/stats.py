@@ -29,12 +29,21 @@ FILE_STATS_SCHEMA = (
 
 def _stats_fn(pdf: pd.DataFrame) -> pd.DataFrame:
     n_tok = pdf["n_tok"].to_numpy()
-    h = pdf["_h"].to_numpy(dtype=np.uint64)
-    xor = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
-    if "zkey" in pdf.columns:
+    # legacy/foreign files lack the hidden ``_h`` column: Spark yields nulls
+    # (NaN after Arrow->pandas), which must surface as xor_digest=None so
+    # the caller's recompute fallback triggers — not crash inside the UDF.
+    if pdf["_h"].isna().any():
+        xor_out = None
+    else:
+        h = pdf["_h"].to_numpy(dtype=np.int64).view(np.uint64)
+        xor = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+        xor_out = int(np.int64(xor))
+    if "zkey" in pdf.columns and not pdf["zkey"].isna().any():
         zk = pdf["zkey"].to_numpy()
         min_z, max_z = (int(zk.min()), int(zk.max())) if len(zk) else (None, None)
     else:
+        # any null zkey (never-clustered rows) → no bounds: conservative
+        # keep-file convention for zkey-range pruning
         min_z = max_z = None
     return pd.DataFrame(
         {
@@ -47,7 +56,7 @@ def _stats_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             "max_n_tok": [int(n_tok.max())],
             "min_zkey": [min_z],
             "max_zkey": [max_z],
-            "xor_digest": [int(np.int64(xor))],
+            "xor_digest": [xor_out],
         }
     )
 

@@ -292,7 +292,9 @@ class TokenTable:
             )
         elif num_files:
             out = out.coalesce(num_files)
-        out.write.mode("append").partitionBy(S.WRITE_PART_COL).parquet(stage)
+        out.write.mode("append").option("compression", S.TOKEN_PARQUET_CODEC).partitionBy(
+            S.WRITE_PART_COL
+        ).parquet(stage)
         return self.collect_entries_for_dir(stage)
 
     @staticmethod
@@ -426,10 +428,21 @@ class TokenTable:
             fn(snap)
         return snap
 
-    def append(self, df: DataFrame, num_files: int | None = None) -> Snapshot:
+    def append(
+        self,
+        df: DataFrame,
+        num_files: int | None = None,
+        summary: dict | None = None,
+    ) -> Snapshot:
+        """Append rows as a new snapshot. ``summary`` extras are stamped into
+        the snapshot descriptor in the SAME atomic commit — callers use this
+        to make external idempotency markers (e.g. a streaming micro-batch
+        id) transactional with the data."""
         event_id = new_event_id()
         entries = self.write_data_files(df, event_id, num_files=num_files)
-        return self.commit(operation="append", added=entries, event_id=event_id)
+        return self.commit(
+            operation="append", added=entries, summary=summary, event_id=event_id
+        )
 
     # ------------------------------------------------------------ utilities
     def table_digest(self, snapshot_id: int | None = None) -> dict:

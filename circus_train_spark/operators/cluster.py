@@ -104,7 +104,9 @@ def cluster(
         .withColumn(S.WRITE_PART_COL, F.col("source"))
     )
     out_dir = f"{table.data_dir}/{event_id}/clustered"
-    out.write.mode("overwrite").partitionBy(S.WRITE_PART_COL).parquet(out_dir)
+    out.write.mode("overwrite").option("compression", S.TOKEN_PARQUET_CODEC).partitionBy(
+        S.WRITE_PART_COL
+    ).parquet(out_dir)
 
     added = table.collect_entries_for_dir(out_dir, zkey=True)
 

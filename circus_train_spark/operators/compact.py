@@ -82,6 +82,13 @@ def _derive_group_entry(group: FileGroup, in_entries: list[dict], out_path: str)
         vals = [e[key] for e in in_entries if e[key] is not None]
         return fn(vals) if vals else None
 
+    def _mm_strict(key, fn):
+        # zkey bounds: any input without zkey stats may hold null-zkey rows,
+        # so the folded bounds would NOT cover them — emit None (conservative
+        # keep-file convention, mirrors file_paths._hits null handling)
+        vals = [e[key] for e in in_entries]
+        return fn(vals) if vals and all(v is not None for v in vals) else None
+
     return {
         "file_path": out_path,
         "partition": group.partition,
@@ -91,8 +98,8 @@ def _derive_group_entry(group: FileGroup, in_entries: list[dict], out_path: str)
         "max_doc_id": _mm("max_doc_id", max),
         "min_n_tok": _mm("min_n_tok", min),
         "max_n_tok": _mm("max_n_tok", max),
-        "min_zkey": _mm("min_zkey", min),
-        "max_zkey": _mm("max_zkey", max),
+        "min_zkey": _mm_strict("min_zkey", min),
+        "max_zkey": _mm_strict("max_zkey", max),
         "xor_digest": xor,
         "added_snapshot_id": -1,
     }
@@ -110,7 +117,9 @@ def _rewrite_group(
         .parquet(*group.files)
         .withColumn(S.WRITE_PART_COL, F.col("source"))
     )
-    df.coalesce(1).write.mode("overwrite").partitionBy(S.WRITE_PART_COL).parquet(out_dir)
+    df.coalesce(1).write.mode("overwrite").option(
+        "compression", S.TOKEN_PARQUET_CODEC
+    ).partitionBy(S.WRITE_PART_COL).parquet(out_dir)
     out_files = table._walk_parquet(out_dir)
     in_entries = [entry_by_path[p] for p in group.files]
     if len(out_files) == 1 and all(e["xor_digest"] is not None for e in in_entries):

@@ -136,13 +136,16 @@ def replicate(
         if e["partition"] in set(todo) | set(dropped) | set(adopt)
     }
 
+    # adopted (crash-recovered) entries MUST survive the branches below:
+    # extend, never reassign — a reassignment would commit the adopted
+    # partitions' old files as removed while dropping their replacements.
     added: list[dict] = []
     for p in adopt:
         added.extend(replica.collect_entries_for_files(done[key(p)].files_out))
     if src_entries:
         if mode == "metadata":
             # rebind source files into the replica manifest — no data I/O
-            added = [dict(e) for e in src_entries]
+            added += [dict(e) for e in src_entries]
         else:
             in_files = [e["file_path"] for e in src_entries]
             bytes_in = sum(e["file_size"] for e in src_entries)
@@ -150,7 +153,7 @@ def replicate(
             df = source.scan(files=in_files)
             # shuffle-free copy: source files are single-source, so coalesced
             # read splits stream rows source-contiguously into the writers
-            added = replica.write_data_files(
+            added += replica.write_data_files(
                 df, event_id, num_files=n_out, sub_dir="replicated", shuffle=False
             )
 

@@ -48,11 +48,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Token arrays are bounded-vocab ints: parquet dictionary+RLE already
-        # compacts them (~2×) and snappy on top buys <1% size for ~2× encode
-        # time (measured at sf0.1: snappy 28.3s/594MB vs uncompressed+dict
-        # 13.9s/599MB). Swap to zstd for cold-storage deployments.
-        .config("spark.sql.parquet.compression.codec", "uncompressed")
+        # Session default stays snappy: the session is shared by every
+        # read/write path (users' own text-like data compresses well). The
+        # token-table writers opt into uncompressed per write via
+        # meta.schema.TOKEN_PARQUET_CODEC (dict+RLE already compacts
+        # bounded-vocab token arrays ~2x; snappy on top costs ~2x encode
+        # time for <1% size — measured at sf0.1).
+        .config("spark.sql.parquet.compression.codec", "snappy")
         # dynamic-partition writes: concurrent writers instead of the
         # sort-by-partition-column pass (sorting full rows with 4 KB token
         # arrays measured 3x slower than buffering a handful of writers)

@@ -43,16 +43,28 @@ def ingest_stream(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         gid = f"batch-{batch_id}"
+        # exactly-once: the authoritative done-set is the batch id stamped in
+        # the snapshot summaries — written in the SAME atomic commit as the
+        # data, so there is no crash window between commit and marker. The
+        # lineage record below is metrics only. (Snapshot expiry can delete
+        # old descriptors, so the lineage log is kept as a secondary guard
+        # for batches whose snapshots have been expired.)
         done = {
+            snap.summary.get("stream_batch_id")
+            for snap in (table.log.get(sid) for sid in table.log.all_snapshot_ids())
+            if "stream_batch_id" in snap.summary
+        }
+        done |= {
             r.group_id
             for r in table.lineage.records(OP)
             if r.status == STATUS_DONE
         }
-        if gid in done:  # redelivery after restart — already committed
+        if gid in done or batch_id in done:  # redelivery after restart
             return
         snap = table.append(
             batch_df.select("doc_id", "tokens", "n_tok", "source"),
             num_files=num_files,
+            summary={"stream_batch_id": gid},
         )
         entries = [
             e

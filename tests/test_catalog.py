@@ -138,3 +138,22 @@ def test_commit_hooks(spark, tmp_path, tokens_df):
     assert seen and seen[-1][1] == "append"
     parts = {e["partition"] for e in t.manifest_entries()}
     assert parts and all(p == p.upper() for p in parts)
+
+
+def test_stats_fallback_for_foreign_files(spark, tmp_path, tokens_df):
+    """Files written by another engine (no hidden _h / zkey columns) must go
+    through the driver-side recompute fallback, not crash inside the stats
+    UDF (regression: null _h became NaN and the uint64 cast raised)."""
+    foreign_dir = str(tmp_path / "foreign")
+    tokens_df.limit(300).coalesce(1).write.mode("overwrite").parquet(foreign_dir)
+    t = TokenTable.create(spark, str(tmp_path / "tblf"))
+    files = t._walk_parquet(foreign_dir)
+    assert files
+    entries = t.collect_entries_for_files(files)
+    assert entries and all(e["xor_digest"] is not None for e in entries)
+    assert all(e["n_rows"] > 0 for e in entries)
+    # zkey variant: foreign files have no zkey → bounds must be None, with
+    # the digest still recomputed
+    entries_z = t.collect_entries_for_files(files, zkey=True)
+    assert all(e["min_zkey"] is None and e["max_zkey"] is None for e in entries_z)
+    assert all(e["xor_digest"] is not None for e in entries_z)

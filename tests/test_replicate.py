@@ -108,3 +108,27 @@ def test_replication_resume_skips_done_partitions(pair):
     assert res.partitions_replicated == []
     assert res.partitions_skipped == ["books"]
     assert src.table_digest() == rep.table_digest()
+
+
+def test_resume_adopts_crashed_write_alongside_new_partition(pair):
+    """Crash between data write and commit, with BOTH a recovered partition
+    and a new one in the healing run: the adopted entries must survive into
+    the commit (regression: `added` reassignment dropped them, losing the
+    recovered partition's data while still removing its old files)."""
+    src, rep = pair
+
+    real_commit = rep.commit
+    rep.commit = lambda **kw: (_ for _ in ()).throw(RuntimeError("injected crash"))
+    try:
+        replicate(src, rep, mode="full", partition_filter="partition = 'books'")
+    except RuntimeError:
+        pass
+    finally:
+        rep.commit = real_commit
+
+    # healing run covers the crashed partition (adopted from lineage) AND a
+    # genuinely new one ('wiki' is absent at the replica)
+    res = replicate(src, rep, mode="incremental")
+    assert "books" in res.partitions_skipped
+    assert "wiki" in res.partitions_replicated
+    assert src.table_digest() == rep.table_digest()

@@ -39,3 +39,35 @@ def test_stream_ingest_exactly_once(spark, tmp_path, tokens_df):
     q3.awaitTermination(120)
     assert t.scan().count() == 1500
     assert t.scan().select("doc_id").distinct().count() == 1500
+
+
+def test_stream_ingest_atomic_marker_survives_lineage_crash(spark, tmp_path, tokens_df):
+    """Exactly-once has no commit→marker window: the batch id lives in the
+    snapshot summary (same atomic commit as the data). A crash after commit
+    but before the lineage append must NOT replay the batch on restart."""
+    src_dir = str(tmp_path / "incoming2")
+    tokens_df.limit(1200).repartition(6).write.mode("overwrite").parquet(src_dir)
+    t = TokenTable.create(spark, str(tmp_path / "tbl2"))
+    ckpt = str(tmp_path / "ckpt2")
+
+    real_append = t.lineage.append
+
+    def crash_after_commit(rec):
+        raise RuntimeError("injected crash between commit and lineage append")
+
+    t.lineage.append = crash_after_commit
+    q = _start(spark, src_dir, t, ckpt)
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass
+    finally:
+        t.lineage.append = real_append
+    # the first batch committed a snapshot but recorded no lineage
+    assert len(t.log.all_snapshot_ids()) >= 2
+    assert not t.lineage.records("stream_ingest")
+
+    q2 = _start(spark, src_dir, t, ckpt)
+    q2.awaitTermination(120)
+    assert t.scan().count() == 1200
+    assert t.scan().select("doc_id").distinct().count() == 1200
