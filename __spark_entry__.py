@@ -676,11 +676,27 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with an arithmetic centroid pick (every (N/8)-th id) so
+    the full pipeline — codebook, assignment, probe, rescore — is replicated
+    verbatim by the DuckDB oracle. The library default (hash-stride sample,
+    ``sampled_centroids``) is the scale path and is covered by pytest."""
     from circus_train_spark.pipeline.similarity import ivf_topk
 
-    e = _read(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ivf_topk(e.filter(F.col("vec_id") != 0), list(q), k=10, n_lists=8, n_probe=4)
+    e = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    q = e.sparkSession.read.parquet(_t(sf_dir, "embeddings")).filter(
+        F.col("vec_id") == 0
+    ).select("embedding").first()[0]
+    n = e.count()
+    stride = max(1, n // 8)
+    cents = (
+        e.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [(int(r["vec_id"]), list(r["embedding"])) for r in cents]
+    return ivf_topk(e, list(q), k=10, n_probe=4, centroids=centroids)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,6 +712,94 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, DeterministicFakeDecoder()).select(
         "media_id", "kind", "n_bytes", F.size("features").alias("feat_dim")
     )
+
+
+# ---------------------------------------------------- ANN / IVF oracle SQL
+#
+# The oracle replicates the *approximate* algorithms exactly: the LSH
+# hyperplanes are deterministic (seeded numpy), so their values are embedded
+# as SQL literals and DuckDB recomputes the same sign buckets / probes /
+# rescoring — an end-to-end check of the ANN semantics, not just row counts.
+
+
+def _sql_arr(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+def _ann_oracle_sql(n_planes: int = 8, dim: int = 64, k: int = 10, seed: int = 42) -> str:
+    from circus_train_spark.pipeline.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+
+    def bucket(v: str) -> str:
+        terms = [
+            f"(CASE WHEN list_dot_product({v}, {_sql_arr(p)}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        ]
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id != 0),
+        qb AS (SELECT {bucket('qv')} AS qbucket FROM q),
+        b AS (SELECT vec_id, v, {bucket('v')} AS bucket FROM e)
+        SELECT vec_id,
+               round(list_dot_product(v, qv) /
+                     (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                     8) AS sim
+        FROM b, q, qb
+        WHERE bit_count(xor(bucket, qbucket)) <= 1
+        ORDER BY sim DESC, vec_id
+        LIMIT {k}
+    """
+
+
+_IVF_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id != 0),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    nn AS (SELECT count(*) AS n FROM e),
+    cents AS (
+      SELECT vec_id AS list_id, v AS cent FROM e, nn
+      WHERE vec_id % greatest(1, n // 8) = 0
+      ORDER BY vec_id LIMIT 8),
+    assign AS (
+      SELECT e.vec_id, e.v, c.list_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_dot_product(e.v, c.cent) /
+                         (sqrt(list_dot_product(e.v, e.v)) *
+                          sqrt(list_dot_product(c.cent, c.cent))), 8) DESC,
+                        c.list_id DESC) AS rn
+      FROM e CROSS JOIN cents c),
+    probe AS (
+      SELECT list_id FROM cents, q
+      ORDER BY round(list_dot_product(cent, qv) /
+                 (sqrt(list_dot_product(cent, cent)) *
+                  sqrt(list_dot_product(qv, qv))), 8) DESC, list_id
+      LIMIT 4)
+    SELECT vec_id,
+           round(list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                 8) AS sim
+    FROM assign, q
+    WHERE rn = 1 AND list_id IN (SELECT list_id FROM probe)
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+"""
+
+# multimodal fixtures are pure arithmetic in the row index (generate_fake_media:
+# payload length 128 + (i % 5)*64, kind cycles image/audio/video), so the
+# oracle recomputes the expected (id, kind, n_bytes, feat_dim) from
+# generate_series — verifying the binary-column round trip and mapInPandas
+# batching preserved every row.
+_MULTIMODAL_SQL = """
+    SELECT printf('m-%05d', i) AS media_id,
+           (['image', 'audio', 'video'])[(i % 3) + 1] AS kind,
+           CAST(128 + (i % 5) * 64 AS BIGINT) AS n_bytes,
+           CAST(16 AS INTEGER) AS feat_dim
+    FROM generate_series(0, 199) t(i)
+"""
 
 
 # --------------------------------------------------------------- the contract
@@ -995,4 +1099,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sim DESC, id_a, id_b
             LIMIT 50
         """,
+        "ann_topk": _ann_oracle_sql(),
+        "ivf_topk": _IVF_SQL,
+        "multimodal_features": _MULTIMODAL_SQL,
     }

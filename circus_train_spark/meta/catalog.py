@@ -95,6 +95,11 @@ class TokenTable:
         # committed; commit listeners observe every new snapshot.
         self.entry_transforms: list = []
         self.commit_listeners: list = []
+        # manifest-entry cache: operators re-plan over the same snapshot's
+        # entries 3-4x per run (plan, prune, lineage, commit); re-reading
+        # every manifest each time is pure driver latency. Keyed by the
+        # snapshot's manifest list, so any commit naturally invalidates.
+        self._entries_cache: dict[tuple, list[dict]] = {}
 
     def on_commit(self, fn) -> None:
         """Register ``fn(snapshot)`` to run after every successful commit."""
@@ -152,12 +157,34 @@ class TokenTable:
         return self.spark.read.schema(S.MANIFEST_SCHEMA).parquet(*snap.manifests)
 
     def manifest_entries(self, snapshot_id: int | None = None) -> list[dict]:
-        """Driver-side manifest entries (for planning/commit paths)."""
+        """Driver-side manifest entries (for planning/commit paths).
+
+        Reads are parallelized across manifests (thread pool — pyarrow
+        releases the GIL) and memoized per snapshot; callers receive fresh
+        dict copies so cached entries are never aliased/mutated.
+        """
         snap = self.snapshot(snapshot_id)
-        out: list[dict] = []
-        for m in snap.manifests:
-            out.extend(pq.read_table(m).to_pylist())
-        return out
+        key = (snap.snapshot_id, tuple(snap.manifests))
+        cached = self._entries_cache.get(key)
+        if cached is None:
+            if len(snap.manifests) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(16, len(snap.manifests))
+                ) as pool:
+                    parts = list(
+                        pool.map(lambda m: pq.read_table(m).to_pylist(), snap.manifests)
+                    )
+                cached = [e for part in parts for e in part]
+            else:
+                cached = [
+                    e for m in snap.manifests for e in pq.read_table(m).to_pylist()
+                ]
+            if len(self._entries_cache) >= 4:  # bound driver memory
+                self._entries_cache.pop(next(iter(self._entries_cache)))
+            self._entries_cache[key] = cached
+        return [dict(e) for e in cached]
 
     def write_manifest(self, entries: list[dict]) -> str:
         path = os.path.join(self.manifest_dir, f"manifest-{uuid.uuid4().hex}.parquet")

@@ -58,30 +58,69 @@ class MergeResult:
     duration_s: float
 
 
+def _lcp_len(a: str, b: str) -> int:
+    n = 0
+    for x, y in zip(a, b):
+        if x != y:
+            break
+        n += 1
+    return n
+
+
 def _prune_by_stats(entries: list[dict], keys_df: DataFrame) -> tuple[list[dict], int]:
     """Keep manifest entries whose doc_id range may contain a change key.
 
-    Ranges are checked distributed via a range-containment join of the
-    (small) manifest against the change keys — no key list on the driver.
+    Scale-safe plan: a bare range-containment theta join is a
+    broadcast-nested-loop (O(files x keys) — 10^12 comparisons at 10^6
+    files x 10^6 keys). Instead, files whose [min_doc_id, max_doc_id] share
+    a common prefix of length L are **equi-joined on that prefix** (hash
+    join with the range check as a residual filter; truncation is monotone
+    in lexicographic order, so a key inside the range must carry the same
+    prefix). L is the median LCP over the manifest, so at least half the
+    files take the equi path; range-spanning files are conservatively kept
+    (they proceed to the column-pruned probe, which is the real filter).
     """
-    spark = keys_df.sparkSession
     if not entries:
         return [], 0
-    m = spark.createDataFrame(
-        [(e["file_path"], e["min_doc_id"], e["max_doc_id"]) for e in entries],
-        "file_path string, min_doc_id string, max_doc_id string",
+    spark = keys_df.sparkSession
+    lcps = sorted(
+        _lcp_len(e["min_doc_id"] or "", e["max_doc_id"] or "")
+        for e in entries
     )
-    hit = (
-        m.join(
-            keys_df,
-            (keys_df.doc_id >= m.min_doc_id) & (keys_df.doc_id <= m.max_doc_id),
-            "left_semi",
+    L = lcps[len(lcps) // 2]
+    spanning, bucketed = [], []
+    for e in entries:
+        mn, mx = e["min_doc_id"], e["max_doc_id"]
+        if mn is None or mx is None or L == 0 or mn[:L] != mx[:L]:
+            spanning.append(e)  # conservative keep (no stats / wide range)
+        else:
+            bucketed.append(e)
+    hit_set: set[str] = set()
+    if bucketed:
+        m = spark.createDataFrame(
+            [
+                (e["file_path"], e["min_doc_id"], e["max_doc_id"], e["min_doc_id"][:L])
+                for e in bucketed
+            ],
+            "file_path string, min_doc_id string, max_doc_id string, pfx string",
         )
-        .select("file_path")
-        .collect()
-    )
-    hit_set = {r["file_path"] for r in hit}
-    kept = [e for e in entries if e["file_path"] in hit_set]
+        keyed = keys_df.withColumn("pfx", F.substring("doc_id", 1, L))
+        # stream the (large) key side, broadcast the (small) manifest side:
+        # hash join on pfx, range containment as residual, distinct file set
+        hit = (
+            keyed.join(
+                F.broadcast(m),
+                (keyed.pfx == m.pfx)
+                & (keyed.doc_id >= m.min_doc_id)
+                & (keyed.doc_id <= m.max_doc_id),
+                "inner",
+            )
+            .select("file_path")
+            .distinct()
+            .collect()
+        )
+        hit_set = {r["file_path"] for r in hit}
+    kept = spanning + [e for e in bucketed if e["file_path"] in hit_set]
     return kept, len(entries) - len(kept)
 
 
@@ -97,15 +136,22 @@ def merge_into(
     base = table.current_snapshot()
 
     changes = changes.select("doc_id", "tokens", "n_tok", "source", "_op").cache()
-    n_changes = changes.count()
-    n_distinct = changes.select("doc_id").distinct().count()
+    # ONE aggregation pass over the change set replaces three serial
+    # driver-blocking jobs (count, distinct-count, upsert-count): each was a
+    # full pass whose latency serializes ahead of the real work and was the
+    # worst scaler in the round-1 bench (merge 0.53 N->4N efficiency).
+    pre = changes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("doc_id").alias("nd"),
+        F.count(F.when(F.col("_op") == "upsert", 1)).alias("nu"),
+    ).collect()[0]
+    n_changes, n_distinct, n_upserts = pre["n"], pre["nd"], pre["nu"]
     if n_distinct != n_changes:
         changes.unpersist()
         raise ValueError(
             f"ambiguous MERGE: {n_changes - n_distinct} duplicate doc_id keys in "
             "the change set (each key may appear at most once)"
         )
-    n_upserts = changes.filter(F.col("_op") == "upsert").count()
     n_deletes = n_changes - n_upserts
     use_broadcast = n_changes <= broadcast_threshold_rows
     strategy = "broadcast" if use_broadcast else "sort_merge"
@@ -113,36 +159,33 @@ def merge_into(
     def keyside(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if use_broadcast else df
 
-    keys = changes.select("doc_id").distinct()
+    keys = changes.select("doc_id")  # keys are distinct (validated above)
 
     # 1. stats-based file pruning
     entries = table.manifest_entries(base.snapshot_id)
     candidates, n_pruned_stats = _prune_by_stats(entries, keys)
 
-    # 2. touched-file probe: doc_id column only, semi join
+    # 2. touched-file probe: doc_id column only, joined against (key, _op)
+    # so ONE job yields the touched-file set, matched-row count AND the
+    # matched-upsert (=update) count — no second scan of the touched files.
     touched: list[str] = []
     n_existing = 0
+    matched_upserts = 0
     if candidates:
         probe = (
             table.scan(files=[e["file_path"] for e in candidates])
             .select("doc_id", F.input_file_name().alias("_file"))
-            .join(keyside(keys), "doc_id", "inner")
+            .join(keyside(changes.select("doc_id", "_op")), "doc_id", "inner")
         )
         agg = probe.agg(
-            F.collect_set("_file").alias("files"), F.count("*").alias("n")
+            F.collect_set("_file").alias("files"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("_op") == "upsert", 1)).alias("nu"),
         ).collect()[0]
         n_existing = agg["n"]
+        matched_upserts = agg["nu"]
         touched = sorted(_strip(p) for p in agg["files"])
 
-    # matched upserts = updates; the rest of the upserts are inserts
-    matched_upserts = 0
-    if touched:
-        matched_upserts = (
-            changes.filter(F.col("_op") == "upsert")
-            .select("doc_id")
-            .join(table.scan(files=touched).select("doc_id"), "doc_id", "left_semi")
-            .count()
-        )
     n_updated = matched_upserts
     n_inserted = n_upserts - matched_upserts
     n_deleted = n_existing - matched_upserts  # matched delete keys

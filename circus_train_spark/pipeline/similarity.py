@@ -164,6 +164,28 @@ def embedding_near_dup_pairs(
 # ----------------------------------------------------------------- IVF-style
 
 
+def sampled_centroids(
+    embeddings: DataFrame,
+    n_lists: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic pseudo-random centroid sample: the ``n_lists`` vectors
+    with the smallest ``xxhash64(id)``. ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject (map-side partial top-k per partition, driver
+    merge) — no global single-partition window, no ``count()`` pre-pass, no
+    full shuffle, at any table size."""
+    cents = (
+        embeddings.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("cent"))
+        .orderBy(
+            F.pmod(F.xxhash64(F.col("_cid").cast("string")), F.lit(1 << 31)), "_cid"
+        )
+        .limit(n_lists)
+        .collect()
+    )
+    return [(i + 1, list(r["cent"])) for i, r in enumerate(cents)]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query: list[float],
@@ -172,28 +194,27 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
-    """IVF-flat ANN with deterministic coarse centroids (every (N/n_lists)-th
-    vector by id order — reproducible without a KMeans dependency)."""
-    n = embeddings.count()
-    stride = max(1, n // n_lists)
-    w = Window.orderBy(id_col)
-    cents = (
-        embeddings.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") - 1) % stride == 0)
-        .limit(n_lists)
-        .select(F.col("_rn").alias("list_id"), F.col(vec_col).alias("cent"))
-        .collect()
-    )
-    centroids = [(int(r["list_id"]), list(r["cent"])) for r in cents]
+    """IVF-flat ANN. Coarse centroids default to a hash-stride sample
+    (``sampled_centroids``); pass ``centroids`` explicitly for a caller-
+    chosen codebook (e.g. KMeans-trained offline, or an arithmetic pick an
+    external oracle can reproduce)."""
+    if centroids is None:
+        centroids = sampled_centroids(embeddings, n_lists, id_col, vec_col)
     qv = np.asarray(query, dtype=np.float64)
 
     def cos_np(c):
         c = np.asarray(c, dtype=np.float64)
         return float(c @ qv / (np.linalg.norm(c) * np.linalg.norm(qv) + 1e-12))
 
+    # probe order rounds to 8 dp with list_id tiebreak — reproducible across
+    # engines (matches the SQL oracle's ORDER BY round(cos, 8) DESC, list_id)
     probe_ids = [
-        lid for lid, _ in sorted(centroids, key=lambda t: -cos_np(t[1]))[:n_probe]
+        lid
+        for lid, _ in sorted(
+            centroids, key=lambda t: (-round(cos_np(t[1]), 8), t[0])
+        )[:n_probe]
     ]
     # assignment: argmax cosine over centroid literals (column algebra)
     assign = F.array(

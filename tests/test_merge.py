@@ -86,3 +86,27 @@ def test_merge_delete_only(spark, loaded, tokens_df):
     res = merge_into(t, victims, verify=True)
     assert res.deleted == 37 and res.inserted == 0 and res.updated == 0
     assert t.scan().count() == n0 - 37
+
+
+def test_prune_by_stats_bucketed_equijoin(spark):
+    """Stats pruning keeps exactly the candidate files via the prefix-bucket
+    equi-join (no O(files x keys) nested loop); spanning files are kept
+    conservatively."""
+    from circus_train_spark.operators.merge import _prune_by_stats
+
+    entries = [
+        {"file_path": "f1", "min_doc_id": "doc-00000001", "max_doc_id": "doc-00000999"},
+        {"file_path": "f2", "min_doc_id": "doc-00001000", "max_doc_id": "doc-00001999"},
+        {"file_path": "f3", "min_doc_id": "doc-00002000", "max_doc_id": "doc-00002999"},
+        # spanning file: min/max share no useful prefix -> conservative keep
+        {"file_path": "f4", "min_doc_id": "doc-00000000", "max_doc_id": "zzz"},
+        # no stats -> conservative keep
+        {"file_path": "f5", "min_doc_id": None, "max_doc_id": None},
+    ]
+    keys = spark.createDataFrame([("doc-00001500",)], "doc_id string")
+    kept, n_pruned = _prune_by_stats(entries, keys)
+    kept_paths = {e["file_path"] for e in kept}
+    assert "f2" in kept_paths            # range hit
+    assert {"f4", "f5"} <= kept_paths    # conservative keeps
+    assert "f1" not in kept_paths and "f3" not in kept_paths
+    assert n_pruned == 2
