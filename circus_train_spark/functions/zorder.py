@@ -145,3 +145,49 @@ def with_zkey(
 def salt_column(n_salts: int) -> Column:
     """Deterministic salt for skewed keys: pmod(xxhash64(doc_id), n)."""
     return F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).alias("_salt")
+
+
+def make_zbin_udf(
+    source_codes: dict[str, int],
+    n_tok_min: int,
+    n_tok_max: int,
+    curve: str,
+    boundaries: dict[str, list[int]],
+    offsets: dict[str, int],
+):
+    """Pandas UDF computing (zkey, bin) in ONE Arrow pass.
+
+    ``bin`` is the output-file index: per source, a vectorized
+    ``np.searchsorted`` against the pre-sampled zkey quantile boundaries
+    (plus the source's global bin offset). This replaces
+    ``repartitionByRange``'s sampling pass — which re-evaluates the full
+    child plan (token decode + key UDF) a second time — with an explicit
+    assignment computed alongside the key itself. O(log bins) per row,
+    fully vectorized.
+    """
+    codes = dict(source_codes)
+    bnds = {s: np.asarray(b, dtype=np.int64) for s, b in boundaries.items()}
+    offs = dict(offsets)
+
+    @F.pandas_udf("zkey bigint, bin int")
+    def zbin(doc_hash: pd.Series, n_tok: pd.Series, source: pd.Series) -> pd.DataFrame:
+        a = _fold_hash_to_bits(doc_hash.to_numpy())
+        b = _scale_to_bits(n_tok.to_numpy(), n_tok_min, n_tok_max)
+        if curve == "hilbert":
+            zk = hilbert2(a, b)
+        else:
+            c = source.map(codes).fillna(0).to_numpy(dtype=np.uint64)
+            zk = morton3(a, b, c)
+        src = source.to_numpy()
+        bins = np.zeros(len(zk), dtype=np.int64)
+        for s in pd.unique(source):
+            m = src == s
+            bd = bnds.get(s)
+            off = offs.get(s, 0)
+            if bd is None or len(bd) == 0:
+                bins[m] = off
+            else:
+                bins[m] = off + np.searchsorted(bd, zk[m], side="right")
+        return pd.DataFrame({"zkey": zk, "bin": bins.astype(np.int32)})
+
+    return zbin

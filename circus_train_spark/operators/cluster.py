@@ -1,28 +1,32 @@
-"""Z-order / Hilbert clustering: one-shuffle range-partitioned rewrite.
+"""Z-order / Hilbert clustering: single-data-pass, explicit range bins.
 
 Plan:
-1. read the live files of the chosen partitions (snapshot-pinned scan);
-2. compute the clustering key with the numpy bit-interleave pandas UDF
-   (``functions/zorder.py``): morton3(fold(xxhash64(doc_id)), scale(n_tok),
-   dict_code(source)) — the dictionary code is computed driver-side from the
-   manifest's partition values (low cardinality by contract);
-3. ``repartitionByRange(n_out, source, zkey, _salt)`` — **source-major**
-   composite range so almost every output task holds exactly one partition
-   value (single-source data files), zkey ordering inside, and a
-   deterministic salt (pmod(xxhash64(doc_id), n)) as the final range column
-   so hot (source, zkey) duplicates split across tasks instead of skewing
-   one: the north rule's "salted keys on skewed source values". Spark's
-   range partitioner *samples* the key distribution, so the ~50%-hot source
-   gets proportionally many output ranges — skew is balanced by construction;
-4. ``sortWithinPartitions(zkey)`` + write → files sorted by zkey;
-5. per-file min/max **zkey** stats (recomputed from row content — the key is
-   deterministic) go into the manifest for stats-based file skipping;
-6. single atomic commit replacing the partition's files; scan equality
+1. **byte-budget planning from the manifest** (no data read): per source,
+   n_bins = ceil(source_bytes / target) — the skewed hot source gets
+   proportionally many output bins by construction (the north rule's skew
+   handling, explicit instead of sampled);
+2. **boundary sampling on narrow columns only**: one job reads just
+   (doc_id, n_tok, source) — parquet column pruning keeps the token arrays
+   on disk — computes zkey with the numpy bit-interleave pandas UDF
+   (``functions/zorder.py``) and takes per-source ``percentile_approx``
+   quantiles as bin boundaries. This replaces ``repartitionByRange``'s
+   sampler, which re-evaluates the FULL child (token decode + key UDF) in
+   an extra pass over all data;
+3. **one full pass**: compute (zkey, bin) in a single Arrow UDF
+   (vectorized ``np.searchsorted`` against the boundaries), hash-shuffle on
+   ``bin`` (each bin lands wholly in one task), sort within tasks by
+   (source, bin, zkey), and write with ``partitionBy(source, bin)`` — the
+   dynamic-partition writer emits **exactly one file per bin**, zkey-sorted,
+   ~target bytes, single-source, even when a task carries several bins;
+4. per-file min/max **zkey** stats (narrow stats read over the hidden
+   persisted columns) go into the manifest for stats-based file skipping;
+5. single atomic commit replacing the partition's files; scan equality
    verified by order-insensitive digest.
 
-Everything is one shuffle (the range exchange, sized by data volume); the
-sort is within output tasks only. At 100 TB: n_out ≈ bytes/target, the range
-sampler is O(n_out) driver memory, and no task sees more than ~target bytes.
+Exactly one shuffle of the wide rows and exactly one decode of the token
+arrays. At 100 TB: boundaries are O(total_bins) driver memory, the boundary
+job reads <1% of table bytes, and no task sees more than ~2 bins of data
+(hash balls-in-bins with 2x headroom on shuffle partitions).
 """
 
 from __future__ import annotations
@@ -37,7 +41,7 @@ from circus_train_spark.ids import new_event_id
 from circus_train_spark.meta import schema as S
 from circus_train_spark.meta.catalog import TokenTable
 from circus_train_spark.meta.lineage import STATUS_DONE, LineageRecord
-from circus_train_spark.functions.zorder import salt_column, with_zkey
+from circus_train_spark.functions.zorder import with_zkey
 
 OP = "cluster"
 
@@ -58,7 +62,9 @@ def cluster(
     target_file_bytes: int = 512 * 1024 * 1024,
     partitions: list[str] | None = None,
     curve: str = "zorder",
-    n_salts: int = 16,
+    # retained for CLI/API compatibility: byte-proportional per-source bins
+    # now handle skew explicitly, so no salt dimension is needed
+    n_salts: int = 16,  # noqa: ARG001 — deprecated, unused
     verify: bool = True,
     run_id: str | None = None,
 ) -> ClusterResult:
@@ -77,35 +83,90 @@ def cluster(
     bytes_in = sum(e["file_size"] for e in entries)
     rows_in = sum(e["n_rows"] for e in entries)
     # driver-side planning constants from manifest stats — no data scan
-    source_codes = {
-        s: i
-        for i, s in enumerate(sorted({e["partition"] for e in entries if e["partition"]}))
-    }
+    sources = sorted({e["partition"] for e in entries if e["partition"]})
+    source_codes = {s: i for i, s in enumerate(sources)}
     n_tok_min = min(e["min_n_tok"] for e in entries if e["min_n_tok"] is not None)
     n_tok_max = max(e["max_n_tok"] for e in entries if e["max_n_tok"] is not None)
+    bytes_by_source: dict[str, int] = {}
+    for e in entries:
+        bytes_by_source[e["partition"]] = (
+            bytes_by_source.get(e["partition"], 0) + e["file_size"]
+        )
+    # byte-proportional bin budget per source (explicit skew handling)
+    n_bins = {
+        s: max(1, math.ceil(b / target_file_bytes)) for s, b in bytes_by_source.items()
+    }
+    offsets: dict[str, int] = {}
+    acc = 0
+    for s in sources:
+        offsets[s] = acc
+        acc += n_bins[s]
+    n_out = acc
 
     if verify:
         digest_before = table.table_digest(base.snapshot_id)
 
-    df = table.scan(files=in_files)
-    zdf = with_zkey(df, source_codes, n_tok_min, n_tok_max, curve=curve)
-    n_out = max(1, math.ceil(bytes_in / target_file_bytes))
-    from circus_train_spark.functions.digest import row_hash
+    # boundary sampling: narrow columns only (tokens stay on disk)
+    boundaries: dict[str, list[int]] = {s: [] for s in sources}
+    q_fine = min(4096, max(n_bins.values()))
+    if q_fine > 1:
+        narrow = (
+            table.spark.read.schema(S.STATS_READ_SCHEMA)
+            .parquet(*in_files)
+            .select("doc_id", "n_tok", "source")
+        )
+        zn = with_zkey(narrow, source_codes, n_tok_min, n_tok_max, curve=curve)
+        probs = [i / q_fine for i in range(1, q_fine)]
+        qrows = (
+            zn.groupBy("source")
+            .agg(F.percentile_approx("zkey", probs, 10_000).alias("qs"))
+            .collect()
+        )
+        fine = {r["source"]: list(r["qs"]) for r in qrows}
+        for s in sources:
+            k = n_bins[s]
+            qs = fine.get(s)
+            if k <= 1 or not qs:
+                continue
+            # pick k-1 evenly spaced fine quantiles as bin boundaries
+            picked = {
+                qs[min(len(qs) - 1, max(0, round(j * q_fine / k) - 1))]
+                for j in range(1, k)
+            }
+            boundaries[s] = sorted(picked)
 
+    from circus_train_spark.functions.digest import row_hash
+    from circus_train_spark.functions.zorder import make_zbin_udf
+
+    zbin = make_zbin_udf(
+        source_codes, n_tok_min, n_tok_max, curve, boundaries, offsets
+    )
+    df = table.scan(files=in_files)
     out = (
-        zdf.withColumn("_salt", salt_column(n_salts))
-        .repartitionByRange(n_out, F.col("source"), F.col("zkey"), F.col("_salt"))
-        .sortWithinPartitions("zkey")
+        df.withColumn("_zb", zbin(F.xxhash64("doc_id"), F.col("n_tok"), F.col("source")))
+        .select(
+            "doc_id",
+            "tokens",
+            "n_tok",
+            "source",
+            F.col("_zb.zkey").alias(S.ZKEY_COL),
+            F.col("_zb.bin").alias("_bin"),
+        )
+        # hash exchange on bin: each bin lands wholly in one task; 2x
+        # shuffle-partition headroom keeps the balls-in-bins max load ~1-2
+        # bins per task. The dynamic-partition writer (sorted by the
+        # partition dirs) then emits exactly one zkey-sorted file per bin.
+        .repartition(max(2 * n_out, 1), "_bin")
+        .sortWithinPartitions(F.col("source"), F.col("_bin"), F.col(S.ZKEY_COL))
         # persist zkey + row hash as hidden columns: the manifest stats pass
         # below reads ONLY narrow columns — token arrays are never re-decoded
         # and the zkey pandas UDF never re-runs
-        .select("doc_id", "tokens", "n_tok", "source", S.ZKEY_COL)
         .withColumn(S.ROW_HASH_COL, row_hash())
         .withColumn(S.WRITE_PART_COL, F.col("source"))
     )
     out_dir = f"{table.data_dir}/{event_id}/clustered"
     out.write.mode("overwrite").option("compression", S.TOKEN_PARQUET_CODEC).partitionBy(
-        S.WRITE_PART_COL
+        S.WRITE_PART_COL, "_bin"
     ).parquet(out_dir)
 
     added = table.collect_entries_for_dir(out_dir, zkey=True)
@@ -129,7 +190,7 @@ def cluster(
         operation=OP,
         added=added,
         removed_paths=set(in_files),
-        summary={"curve": curve, "n_out": n_out, "n_salts": n_salts},
+        summary={"curve": curve, "n_out": n_out},
         expected_parent_id=base.snapshot_id,
         event_id=event_id,
     )
