@@ -9,8 +9,13 @@ with subcommands, run as
     # or locally:
     python -m circus_train_spark <subcommand> --table /path [...]
 
-Subcommands: create · append · compact · cluster · expire ·
-rewrite-manifests · merge · replicate · diff · validate · history.
+Subcommands: create · append · compact · cluster · expire · remove-orphans ·
+housekeeping · rewrite-manifests · merge · replicate · diff · validate ·
+history · check-filter.
+
+Partition filters may embed SpEL-style dynamic date blocks
+(``#{#nowUtc().minusDays(3).toString("yyyy-MM-dd")}``) which are folded to
+literals before planning — see ``functions/expressions.py``.
 
 Each prints one JSON result line (the job metrics the reference emits via
 its listener/metrics pipeline — ``core/event/MetricsListener.java:66-93``).
@@ -64,6 +69,34 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--keep-last", type=int, default=2)
     sp.add_argument("--older-than-ms", type=int, default=None)
     sp.add_argument("--dry-run", action="store_true")
+    sp.add_argument(
+        "--grace-ms",
+        type=int,
+        default=0,
+        help="defer physical deletes into the housekeeping queue for this long",
+    )
+
+    sp = sub.add_parser(
+        "remove-orphans", help="delete files referenced by no snapshot"
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--grace-ms", type=int, default=None)
+    sp.add_argument("--dry-run", action="store_true")
+
+    sp = sub.add_parser(
+        "housekeeping", help="apply grace-expired deferred deletions"
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--grace-ms", type=int, default=None)
+
+    sp = sub.add_parser(
+        "check-filter",
+        help="dry-run a (dynamic) partition filter against a table "
+        "(the check-filters.sh tool analogue)",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--filter", required=True)
+    sp.add_argument("--limit", type=int, default=None)
 
     sp = sub.add_parser("rewrite-manifests", help="coalesce manifest files")
     sp.add_argument("--table", required=True)
@@ -159,8 +192,53 @@ def main(argv: list[str] | None = None) -> int:
                 keep_last=a.keep_last,
                 older_than_ms=a.older_than_ms,
                 dry_run=a.dry_run,
+                grace_period_ms=a.grace_ms,
             )
         )
+        return 0
+
+    if a.cmd == "remove-orphans":
+        from circus_train_spark.operators.housekeeping import (
+            DEFAULT_GRACE_MS,
+            remove_orphan_files,
+        )
+
+        t = TokenTable.load(spark, a.table)
+        _json(
+            remove_orphan_files(
+                t,
+                grace_period_ms=(
+                    a.grace_ms if a.grace_ms is not None else DEFAULT_GRACE_MS
+                ),
+                dry_run=a.dry_run,
+            )
+        )
+        return 0
+
+    if a.cmd == "housekeeping":
+        from circus_train_spark.operators.housekeeping import (
+            DEFAULT_GRACE_MS,
+            run_housekeeping,
+        )
+
+        t = TokenTable.load(spark, a.table)
+        _json(
+            run_housekeeping(
+                t,
+                grace_period_ms=(
+                    a.grace_ms if a.grace_ms is not None else DEFAULT_GRACE_MS
+                ),
+            )
+        )
+        return 0
+
+    if a.cmd == "check-filter":
+        from circus_train_spark.functions.expressions import resolve_expressions
+
+        t = TokenTable.load(spark, a.table)
+        resolved = resolve_expressions(a.filter)
+        parts = t.select_partitions(resolved, a.limit)
+        _json({"filter": a.filter, "resolved": resolved, "partitions": parts})
         return 0
 
     if a.cmd == "rewrite-manifests":
@@ -179,6 +257,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if a.cmd == "replicate":
+        from circus_train_spark.functions.expressions import resolve_expressions
         from circus_train_spark.operators.replicate import replicate
 
         src = TokenTable.load(spark, a.source)
@@ -186,12 +265,20 @@ def main(argv: list[str] | None = None) -> int:
             rep = TokenTable.load(spark, a.replica)
         except FileNotFoundError:
             rep = TokenTable.create(spark, a.replica)
+        # SpEL-equivalent constant folding BEFORE planning (reference:
+        # SpelParsedPartitionPredicate.java:38-52): relative-date blocks
+        # become literals and Catalyst sees a constant predicate
+        pf = (
+            resolve_expressions(a.partition_filter)
+            if a.partition_filter
+            else None
+        )
         _json(
             replicate(
                 src,
                 rep,
                 mode=a.mode,
-                partition_filter=a.partition_filter,
+                partition_filter=pf,
                 partition_limit=a.partition_limit,
                 propagate_deletes=a.propagate_deletes,
             )

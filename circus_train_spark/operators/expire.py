@@ -45,7 +45,14 @@ def expire_snapshots(
     keep_last: int = 2,
     older_than_ms: int | None = None,
     dry_run: bool = False,
+    grace_period_ms: int = 0,
 ) -> ExpireResult:
+    """Expire old snapshots; physically delete unreachable files — or, with
+    ``grace_period_ms > 0``, *schedule* them into the housekeeping queue so
+    a long-running reader pinned to a just-expired snapshot finishes its
+    scan before the bytes disappear (reference: deletions deferred past a
+    grace period, default P3D — ``HousekeepingRunner.java:56-75``,
+    ``README.md:539-554``; run ``run_housekeeping`` to apply them)."""
     t0 = time.monotonic()
     all_ids = table.log.all_snapshot_ids()
     head = table.log.current_id()
@@ -79,17 +86,25 @@ def expire_snapshots(
 
     bytes_reclaimed = 0
     if not dry_run:
-        for p in sorted(dead_files):
-            try:
-                bytes_reclaimed += os.path.getsize(p)
-                os.remove(p)
-            except FileNotFoundError:
-                pass
-        for m in sorted(dead_manifests):
-            try:
-                os.remove(m)
-            except FileNotFoundError:
-                pass
+        if grace_period_ms > 0:
+            from circus_train_spark.operators.housekeeping import schedule_deletions
+
+            schedule_deletions(
+                table, sorted(dead_files) + sorted(dead_manifests)
+            )
+            bytes_reclaimed = 0  # reclaimed later by run_housekeeping
+        else:
+            for p in sorted(dead_files):
+                try:
+                    bytes_reclaimed += os.path.getsize(p)
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+            for m in sorted(dead_manifests):
+                try:
+                    os.remove(m)
+                except FileNotFoundError:
+                    pass
         for sid in expired:
             try:
                 os.remove(table.log.snapshot_path(sid))
