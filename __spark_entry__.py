@@ -176,6 +176,60 @@ def q_tml_manifest_rewrite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_summary(table.scan())
 
 
+def q_tml_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end-to-end: append under the core schema, ALTER to
+    add a nullable ``lang`` column, append evolved rows, compact across the
+    generations — the scan must reconcile old files (lang -> NULL) with new
+    ones (reference matrix: SCHEMA_EVOLUTION.md:10-30)."""
+    from pyspark.sql import types as T
+
+    from circus_train_spark.meta import schema as S
+    from circus_train_spark.meta.catalog import TokenTable
+    from circus_train_spark.operators.compact import compact
+
+    root = tempfile.mkdtemp(prefix="cts-entry-")
+    table = TokenTable.create(spark, os.path.join(root, "tbl"))
+    docs = tokenized_documents(spark, sf_dir)
+    d = _read(spark, sf_dir, "documents").select(
+        F.format_string("doc-%08d", F.col("doc_id")).alias("doc_id"), "lang"
+    )
+    parity = F.substring("doc_id", -1, 1).cast("int") % 2  # numeric id parity
+    old_half = docs.join(d, "doc_id").filter(parity == 0).drop("lang")
+    new_half = docs.join(d, "doc_id").filter(parity == 1)
+    table.append(old_half.select("doc_id", "tokens", "n_tok", "source"), num_files=2)
+    table.alter_schema(
+        T.StructType(
+            list(S.DATA_SCHEMA.fields) + [T.StructField("lang", T.StringType(), True)]
+        )
+    )
+    table.append(
+        new_half.select("doc_id", "tokens", "n_tok", "source", "lang"), num_files=2
+    )
+    compact(table, target_file_bytes=512 * 1024 * 1024, small_file_threshold=None)
+    tok_sum = F.aggregate(
+        "tokens", F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
+    )
+    return table.scan().select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        tok_sum.alias("tok_sum"),
+        "lang",
+    )
+
+
+_TML_EVOLUTION_SQL = """
+SELECT printf('doc-%08d', doc_id) AS doc_id,
+       source,
+       CAST((n_chars % 121) + 8 AS BIGINT) AS n_tok,
+       CAST(list_sum([ (doc_id*2654435761 + i*2246822519) % 50257
+                       for i in generate_series(1, (n_chars % 121) + 8) ])
+            AS BIGINT) AS tok_sum,
+       CASE WHEN doc_id % 2 = 1 THEN lang ELSE NULL END AS lang
+FROM documents
+"""
+
+
 def q_tml_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO: updates (id%10==3, new token generator), deletes
     (id%10==7), inserts (id%10==5 shifted by +10_000_000)."""
@@ -837,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tml_cluster_scan": q_tml_cluster_scan,
         "tml_expire_scan": q_tml_expire_scan,
         "tml_manifest_rewrite_scan": q_tml_manifest_rewrite_scan,
+        "tml_schema_evolution_scan": q_tml_schema_evolution_scan,
         "tml_merge_scan": q_tml_merge_scan,
         # diff + replication (the reference's core pipeline)
         "table_diff": q_table_diff,
@@ -882,6 +937,7 @@ def oracle_sql() -> dict[str, str]:
         "tml_cluster_scan": tok_identity,
         "tml_expire_scan": tok_identity,
         "tml_manifest_rewrite_scan": tok_identity,
+        "tml_schema_evolution_scan": _TML_EVOLUTION_SQL,
         "tml_merge_scan": _TML_MERGE_SQL,
         "table_diff": _TABLE_DIFF_SQL,
         "table_replicate_scan": tok_identity,

@@ -148,6 +148,41 @@ class TokenTable:
             else self.log.get(snapshot_id)
         )
 
+    # --------------------------------------------------------------- schema
+    def data_schema(self, snapshot_id: int | None = None):
+        """The table schema as of a snapshot (versioned in the snapshot
+        summaries; every commit carries the schema forward, so expiry of old
+        snapshots never loses it)."""
+        snap = self.snapshot(snapshot_id)
+        seen = set()
+        while snap is not None:
+            text = snap.summary.get("schema")
+            if text:
+                return S.schema_from_json(text)
+            if snap.parent_id is None or snap.parent_id in seen:
+                break
+            seen.add(snap.parent_id)
+            try:
+                snap = self.log.get(snap.parent_id)
+            except FileNotFoundError:
+                break
+        return S.DATA_SCHEMA
+
+    def alter_schema(self, new_schema) -> Snapshot:
+        """Evolve the table schema (add column / remove non-core column /
+        int->long / float->double promotion — the supported half of the
+        reference matrix, ``SCHEMA_EVOLUTION.md:10-30``). Metadata-only:
+        old data files are reconciled at scan time (missing column -> null,
+        widened ints/floats promoted by the parquet reader), mirroring how
+        the reference alters the replica table rather than rewriting data
+        (``AlterTableService.java:47-67``)."""
+        old = self.data_schema()
+        S.check_evolution(old, new_schema)
+        return self.commit(
+            operation="alter_schema",
+            summary={"schema": new_schema.json()},
+        )
+
     # ------------------------------------------------------------ manifests
     def manifest_df(self, snapshot_id: int | None = None) -> DataFrame:
         """All live file entries for a snapshot, as a DataFrame."""
@@ -272,9 +307,13 @@ class TokenTable:
             if files is not None
             else self.file_paths(snapshot_id, partitions, doc_id_range, n_tok_range)
         )
+        schema = self.data_schema(snapshot_id)
         if not paths:
-            return self.spark.createDataFrame([], S.DATA_SCHEMA)
-        return self.spark.read.schema(S.DATA_SCHEMA).parquet(*paths)
+            return self.spark.createDataFrame([], schema)
+        # old files reconcile against the current schema in the reader:
+        # missing columns -> null, int->long / float->double widened,
+        # removed columns pruned (see meta.schema.check_evolution)
+        return self.spark.read.schema(schema).parquet(*paths)
 
     # --------------------------------------------------------------- writes
     def _stage_dir(self, event_id: str) -> str:
@@ -301,8 +340,9 @@ class TokenTable:
         stage = self._stage_dir(event_id)
         if sub_dir:
             stage = os.path.join(stage, sub_dir)
+        cols = [f.name for f in self.data_schema().fields]
         out = (
-            df.select("doc_id", "tokens", "n_tok", "source")
+            df.select(*cols)
             .withColumn(S.ROW_HASH_COL, row_hash())
             .withColumn(S.WRITE_PART_COL, F.col("source"))
         )
@@ -440,6 +480,12 @@ class TokenTable:
                 e["added_snapshot_id"] = new_sid
             manifests.append(self.write_manifest(added))
         summary = dict(summary or {})
+        if "schema" not in summary:
+            # carry the schema forward so expiring old snapshots never
+            # loses the table's evolved schema
+            parent_schema = self.snapshot(expected_parent_id).summary.get("schema")
+            if parent_schema:
+                summary["schema"] = parent_schema
         summary.setdefault("added_files", len(added))
         summary.setdefault("removed_files", len(removed_paths))
         summary.setdefault("added_rows", sum(e["n_rows"] for e in added))

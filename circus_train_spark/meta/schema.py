@@ -45,6 +45,68 @@ MANIFEST_SCHEMA = T.StructType(
 
 MANIFEST_COLUMNS = [f.name for f in MANIFEST_SCHEMA.fields]
 
+# ---------------------------------------------------------------- evolution
+#
+# Reference matrix (SCHEMA_EVOLUTION.md:10-36): add field OK, remove field
+# OK, int->long / float->double promotion OK; renames and demotions are NOT
+# supported (the reference recreates the replica via temp-table + rename for
+# anything else — AlterTableService.java:47-67, RenameTableOperation.java:
+# 42-70). We enforce the same legality and resolve old files at SCAN time:
+# Spark's parquet reader natively widens int32->int64 and float->double,
+# returns null for columns a file predates, and prunes columns a file still
+# carries after a remove — so no data rewrite is ever needed for a legal
+# evolution.
+
+_PROMOTIONS: dict[str, set[str]] = {
+    "integer": {"long"},
+    "float": {"double"},
+}
+
+# columns every token table must keep (the engine's core contract)
+CORE_COLUMNS = ("doc_id", "tokens", "n_tok", "source")
+
+
+def check_evolution(old: T.StructType, new: T.StructType) -> None:
+    """Raise ValueError if ``old -> new`` is not a legal evolution."""
+    old_by_name = {f.name: f for f in old.fields}
+    for c in CORE_COLUMNS:
+        if c not in {f.name for f in new.fields}:
+            raise ValueError(f"cannot drop core column {c!r}")
+    if [f.name for f in new.fields if f.name in old_by_name] != [
+        f.name for f in old.fields if f.name in {g.name for g in new.fields}
+    ]:
+        raise ValueError("reordering existing columns is not supported")
+    for f in new.fields:
+        prev = old_by_name.get(f.name)
+        if prev is None:
+            if not f.nullable:
+                raise ValueError(
+                    f"new column {f.name!r} must be nullable (old files "
+                    "have no values for it)"
+                )
+            continue
+        if prev.dataType == f.dataType:
+            continue
+        if f.name in CORE_COLUMNS:
+            # core columns carry persisted per-row xxhash64 digests whose
+            # value depends on the physical type — widening them would make
+            # recomputed digests disagree with manifest xor stats
+            raise ValueError(
+                f"cannot change the type of core column {f.name!r} "
+                "(the engine's digest contract is bound to its type)"
+            )
+        ok = f.dataType.typeName() in _PROMOTIONS.get(prev.dataType.typeName(), set())
+        if not ok:
+            raise ValueError(
+                f"illegal type change for {f.name!r}: "
+                f"{prev.dataType.simpleString()} -> {f.dataType.simpleString()} "
+                "(supported promotions: int->long, float->double)"
+            )
+
+
+def schema_from_json(text: str) -> T.StructType:
+    return T.StructType.fromJson(__import__("json").loads(text))
+
 # table directory layout
 DATA_DIR = "data"
 METADATA_DIR = "metadata"

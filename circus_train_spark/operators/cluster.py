@@ -142,13 +142,11 @@ def cluster(
         source_codes, n_tok_min, n_tok_max, curve, boundaries, offsets
     )
     df = table.scan(files=in_files)
+    data_cols = [f.name for f in table.data_schema().fields]
     out = (
         df.withColumn("_zb", zbin(F.xxhash64("doc_id"), F.col("n_tok"), F.col("source")))
         .select(
-            "doc_id",
-            "tokens",
-            "n_tok",
-            "source",
+            *data_cols,
             F.col("_zb.zkey").alias(S.ZKEY_COL),
             F.col("_zb.bin").alias("_bin"),
         )

@@ -58,16 +58,20 @@ class CompactionResult:
 
 import pyspark.sql.types as T
 
-# rewrite schema: data columns + the persisted hidden columns (row hash,
-# clustering key) carried through verbatim so output stats derive from the
-# input manifest entries with zero post-write scanning
-_REWRITE_SCHEMA = T.StructType(
-    S.DATA_SCHEMA.fields
-    + [
-        T.StructField(S.ZKEY_COL, T.LongType(), True),
-        T.StructField(S.ROW_HASH_COL, T.LongType(), True),
-    ]
-)
+
+def _rewrite_schema(table: TokenTable) -> T.StructType:
+    """Rewrite schema: the table's CURRENT data columns (schema evolution
+    carries added/widened columns through the rewrite) + the persisted
+    hidden columns (row hash, clustering key) copied verbatim so output
+    stats derive from the input manifest entries with zero post-write
+    scanning."""
+    return T.StructType(
+        table.data_schema().fields
+        + [
+            T.StructField(S.ZKEY_COL, T.LongType(), True),
+            T.StructField(S.ROW_HASH_COL, T.LongType(), True),
+        ]
+    )
 
 
 def _derive_group_entry(group: FileGroup, in_entries: list[dict], out_path: str) -> dict:
@@ -113,7 +117,7 @@ def _rewrite_group(
     t0 = time.monotonic()
     out_dir = os.path.join(table.data_dir, event_id, f"g-{group.group_id}")
     df = (
-        table.spark.read.schema(_REWRITE_SCHEMA)
+        table.spark.read.schema(_rewrite_schema(table))
         .parquet(*group.files)
         .withColumn(S.WRITE_PART_COL, F.col("source"))
     )

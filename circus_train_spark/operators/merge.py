@@ -135,7 +135,8 @@ def merge_into(
     event_id = run_id or new_event_id()
     base = table.current_snapshot()
 
-    changes = changes.select("doc_id", "tokens", "n_tok", "source", "_op").cache()
+    data_cols = [f.name for f in table.data_schema().fields]
+    changes = changes.select(*data_cols, "_op").cache()
     # ONE aggregation pass over the change set replaces three serial
     # driver-blocking jobs (count, distinct-count, upsert-count): each was a
     # full pass whose latency serializes ahead of the real work and was the
@@ -199,7 +200,7 @@ def merge_into(
     n_up_parts = max(1, n_upserts // 100_000)
     upsert_rows = (
         changes.filter(F.col("_op") == "upsert")
-        .select("doc_id", "tokens", "n_tok", "source")
+        .select(*data_cols)
         .repartition(n_up_parts)
         .sortWithinPartitions("source")
     )

@@ -62,7 +62,7 @@ def ingest_stream(
         if gid in done or batch_id in done:  # redelivery after restart
             return
         snap = table.append(
-            batch_df.select("doc_id", "tokens", "n_tok", "source"),
+            batch_df.select(*[f.name for f in table.data_schema().fields]),
             num_files=num_files,
             summary={"stream_batch_id": gid},
         )
