@@ -81,10 +81,14 @@ def _strip_uri(p: str) -> str:
 
 
 class TokenTable:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, catalog=None):
         self.spark = spark
         self.root = os.path.abspath(root)
-        self.log = SnapshotLog(self.root)
+        # pluggable catalog protocol (the MetaStoreClientFactory analogue,
+        # README.md:743-750): every snapshot-log interaction goes through
+        # this adapter — meta/adapter.py defines the interface and an
+        # in-memory alternate; SnapshotLog is the filesystem default.
+        self.log = catalog if catalog is not None else SnapshotLog(self.root)
         self.lineage = LineageLog(self.root)
         self.data_dir = os.path.join(self.root, S.DATA_DIR)
         self.manifest_dir = os.path.join(self.root, S.MANIFEST_DIR)
@@ -112,8 +116,8 @@ class TokenTable:
 
     # ------------------------------------------------------------------ DDL
     @classmethod
-    def create(cls, spark: SparkSession, root: str) -> "TokenTable":
-        t = cls(spark, root)
+    def create(cls, spark: SparkSession, root: str, catalog=None) -> "TokenTable":
+        t = cls(spark, root, catalog=catalog)
         if t.log.current_id() is not None:
             raise FileExistsError(f"table already exists at {root}")
         os.makedirs(t.data_dir, exist_ok=True)
@@ -128,8 +132,8 @@ class TokenTable:
         return t
 
     @classmethod
-    def load(cls, spark: SparkSession, root: str) -> "TokenTable":
-        t = cls(spark, root)
+    def load(cls, spark: SparkSession, root: str, catalog=None) -> "TokenTable":
+        t = cls(spark, root, catalog=catalog)
         if t.log.current_id() is None:
             raise FileNotFoundError(f"no table at {root}")
         return t
@@ -359,9 +363,17 @@ class TokenTable:
             )
         elif num_files:
             out = out.coalesce(num_files)
-        out.write.mode("append").option("compression", S.TOKEN_PARQUET_CODEC).partitionBy(
-            S.WRITE_PART_COL
-        ).parquet(stage)
+        from circus_train_spark.meta.writers import WriteRequest, writer_for
+
+        writer_for(stage).write(
+            WriteRequest(
+                df=out,
+                dest_dir=stage,
+                partition_cols=[S.WRITE_PART_COL],
+                codec=S.TOKEN_PARQUET_CODEC,
+                mode="append",
+            )
+        )
         return self.collect_entries_for_dir(stage)
 
     @staticmethod

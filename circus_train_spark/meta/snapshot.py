@@ -125,6 +125,13 @@ class SnapshotLog:
             sid = snap.parent_id
         return list(reversed(chain))
 
+    def delete_snapshot(self, snapshot_id: int) -> None:
+        """Remove an expired snapshot descriptor (no-op if already gone)."""
+        try:
+            os.remove(self.snapshot_path(snapshot_id))
+        except FileNotFoundError:
+            pass
+
     # -- writes -----------------------------------------------------------
     def _write_atomic(self, path: str, text: str) -> None:
         tmp = f"{path}.tmp.{os.getpid()}.{time.monotonic_ns()}"

@@ -162,10 +162,18 @@ def cluster(
         .withColumn(S.ROW_HASH_COL, row_hash())
         .withColumn(S.WRITE_PART_COL, F.col("source"))
     )
+    from circus_train_spark.meta.writers import WriteRequest, writer_for
+
     out_dir = f"{table.data_dir}/{event_id}/clustered"
-    out.write.mode("overwrite").option("compression", S.TOKEN_PARQUET_CODEC).partitionBy(
-        S.WRITE_PART_COL, "_bin"
-    ).parquet(out_dir)
+    writer_for(out_dir).write(
+        WriteRequest(
+            df=out,
+            dest_dir=out_dir,
+            partition_cols=[S.WRITE_PART_COL, "_bin"],
+            codec=S.TOKEN_PARQUET_CODEC,
+            mode="overwrite",
+        )
+    )
 
     added = table.collect_entries_for_dir(out_dir, zkey=True)
 

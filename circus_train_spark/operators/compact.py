@@ -121,9 +121,18 @@ def _rewrite_group(
         .parquet(*group.files)
         .withColumn(S.WRITE_PART_COL, F.col("source"))
     )
-    df.coalesce(1).write.mode("overwrite").option(
-        "compression", S.TOKEN_PARQUET_CODEC
-    ).partitionBy(S.WRITE_PART_COL).parquet(out_dir)
+    from circus_train_spark.meta.writers import WriteRequest, writer_for
+
+    writer_for(out_dir).write(
+        WriteRequest(
+            df=df,
+            dest_dir=out_dir,
+            partition_cols=[S.WRITE_PART_COL],
+            single_file=True,
+            codec=S.TOKEN_PARQUET_CODEC,
+            mode="overwrite",
+        )
+    )
     out_files = table._walk_parquet(out_dir)
     in_entries = [entry_by_path[p] for p in group.files]
     if len(out_files) == 1 and all(e["xor_digest"] is not None for e in in_entries):

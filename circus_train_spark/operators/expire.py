@@ -106,10 +106,7 @@ def expire_snapshots(
                 except FileNotFoundError:
                     pass
         for sid in expired:
-            try:
-                os.remove(table.log.snapshot_path(sid))
-            except FileNotFoundError:
-                pass
+            table.log.delete_snapshot(sid)
         table.lineage.append(
             LineageRecord(
                 run_id=new_event_id(),
