@@ -411,18 +411,25 @@ def q_checksum_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_binpack_nextfit_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Size-balanced grouping (the reference's uniform-size split planner,
     ``UniformSizeInputFormat.java:78-125``) as a window plan: size-desc
-    next-fit via running cumulative sum → fixed-capacity bins."""
+    next-fit via running cumulative sum → fixed-capacity bins. The window is
+    PARTITIONED by a planner shard (hash of file id), the way a distributed
+    planner shards its work-list — no single-partition global window, so the
+    plan parallelizes at any manifest size."""
     o = _read(spark, sf_dir, "orders")
     sized = o.select(
-        F.col("o_orderkey").alias("file_id"), _cents(F.col("o_totalprice")).alias("sz")
+        F.col("o_orderkey").alias("file_id"),
+        _cents(F.col("o_totalprice")).alias("sz"),
+        F.pmod(F.col("o_orderkey"), F.lit(8)).alias("shard"),
     )
     w = (
-        Window.orderBy(F.desc("sz"), "file_id")
+        Window.partitionBy("shard")
+        .orderBy(F.desc("sz"), "file_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     target = 10_000_000  # bin capacity in cents
     binned = sized.withColumn(
-        "bin", F.floor((F.sum("sz").over(w) - 1) / target)
+        "bin",
+        F.col("shard") * 1_000_000 + F.floor((F.sum("sz").over(w) - 1) / target),
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_files"), F.sum("sz").alias("bin_bytes")
@@ -615,17 +622,26 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_pairs_block(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded pairwise cosine (id-window block join) — near-dup primitive."""
+    """Banded pairwise cosine (id-window block join) — near-dup primitive.
+
+    Scale plan: a bare ``a.id < b.id <= a.id+25`` theta join executes as a
+    broadcast-nested-loop; instead, ids are bucketed into width-25 blocks
+    and the window becomes TWO hash equi-joins (same block + next block)
+    with the range as a residual — the standard banded-self-join shape that
+    survives any table size."""
     e = _read(spark, sf_dir, "embeddings").select(
-        F.col("vec_id"), _as_double(F.col("embedding")).alias("v")
+        F.col("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+        F.floor(F.col("vec_id") / 25).alias("blk"),
     )
     a, b = e.alias("a"), e.alias("b")
+    in_window = (F.col("b.vec_id") > F.col("a.vec_id")) & (
+        F.col("b.vec_id") <= F.col("a.vec_id") + 25
+    )
+    same = a.join(b, (F.col("a.blk") == F.col("b.blk")) & in_window)
+    nxt = a.join(b, (F.col("a.blk") + 1 == F.col("b.blk")) & in_window)
     return (
-        a.join(
-            b,
-            (F.col("b.vec_id") > F.col("a.vec_id"))
-            & (F.col("b.vec_id") <= F.col("a.vec_id") + 25),
-        )
+        same.unionByName(nxt)
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
@@ -768,6 +784,104 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tml_time_travel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-pinned time travel: append half, pin, append the rest — the
+    pinned scan must still see ONLY the first half (snapshot isolation, the
+    unique-event-folder contract: FullReplicationReplicaLocationManager
+    .java:58-77)."""
+    from circus_train_spark.meta.catalog import TokenTable
+
+    root = tempfile.mkdtemp(prefix="cts-entry-")
+    table = TokenTable.create(spark, os.path.join(root, "tbl"))
+    docs = tokenized_documents(spark, sf_dir)
+    parity = F.substring("doc_id", -1, 1).cast("int") % 2
+    table.append(docs.filter(parity == 0), num_files=2)
+    pinned = table.current_snapshot().snapshot_id
+    table.append(docs.filter(parity == 1), num_files=2)
+    return _scan_summary(table.scan(pinned))
+
+
+_TML_TIME_TRAVEL_SQL = """
+SELECT printf('doc-%08d', doc_id) AS doc_id,
+       source,
+       CAST((n_chars % 121) + 8 AS BIGINT) AS n_tok,
+       CAST(list_sum([ (doc_id*2654435761 + i*2246822519) % 50257
+                       for i in generate_series(1, (n_chars % 121) + 8) ])
+            AS BIGINT) AS tok_sum
+FROM documents WHERE doc_id % 2 = 0
+"""
+
+
+def q_tml_stream_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest (availableNow file stream -> exactly-once
+    micro-batch snapshot commits) — the ingested table's scan must equal the
+    batch derivation."""
+    from circus_train_spark.meta.catalog import TokenTable
+    from circus_train_spark.streaming.ingest import ingest_stream
+    from circus_train_spark.meta import schema as S
+
+    root = tempfile.mkdtemp(prefix="cts-entry-")
+    incoming = os.path.join(root, "incoming")
+    tokenized_documents(spark, sf_dir).repartition(4).write.parquet(incoming)
+    table = TokenTable.create(spark, os.path.join(root, "tbl"))
+    stream = (
+        spark.readStream.schema(S.DATA_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(incoming)
+    )
+    q = ingest_stream(table, stream, os.path.join(root, "ckpt"), num_files=1)
+    q.awaitTermination(300)
+    return _scan_summary(table.scan())
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-3-gram Jaccard similarity over an id-window block —
+    the exact-verification primitive behind MinHash candidates."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("t")
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("t") - 2, F.lit(1))),
+            lambda i: F.col("t").substr(i, F.lit(3)),
+        )
+    )
+    g = d.select("doc_id", grams.alias("g"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
+    union = F.size(F.array_union(F.col("a.g"), F.col("b.g")))
+    return (
+        a.join(
+            b,
+            (F.col("b.doc_id") > F.col("a.doc_id"))
+            & (F.col("b.doc_id") <= F.col("a.doc_id") + 10),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(50)
+    )
+
+
+_NGRAM_JACCARD_SQL = """
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct([ substr(lower(text), i, 3)
+                             for i in generate_series(1, greatest(length(text)-2, 1)) ]) AS g
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+    FROM g a JOIN g b
+      ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 10
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 50
+"""
+
+
 # ---------------------------------------------------- ANN / IVF oracle SQL
 #
 # The oracle replicates the *approximate* algorithms exactly: the LSH
@@ -893,6 +1007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tml_manifest_rewrite_scan": q_tml_manifest_rewrite_scan,
         "tml_schema_evolution_scan": q_tml_schema_evolution_scan,
         "tml_merge_scan": q_tml_merge_scan,
+        "tml_time_travel_scan": q_tml_time_travel_scan,
+        "tml_stream_ingest_scan": q_tml_stream_ingest_scan,
         # diff + replication (the reference's core pipeline)
         "table_diff": q_table_diff,
         "table_replicate_scan": q_table_replicate_scan,
@@ -920,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "sim_topk": q_sim_topk,
         "sim_pairs_block": q_sim_pairs_block,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         # rows-only ops
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_fingerprint": q_simhash_fingerprint,
@@ -939,6 +1056,9 @@ def oracle_sql() -> dict[str, str]:
         "tml_manifest_rewrite_scan": tok_identity,
         "tml_schema_evolution_scan": _TML_EVOLUTION_SQL,
         "tml_merge_scan": _TML_MERGE_SQL,
+        "tml_time_travel_scan": _TML_TIME_TRAVEL_SQL,
+        "tml_stream_ingest_scan": tok_identity,
+        "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "table_diff": _TABLE_DIFF_SQL,
         "table_replicate_scan": tok_identity,
         "q1_pricing_summary": """
@@ -1005,11 +1125,14 @@ def oracle_sql() -> dict[str, str]:
         "binpack_nextfit_plan": """
             WITH sized AS (
               SELECT o_orderkey AS file_id,
-                     CAST(round(o_totalprice*100) AS BIGINT) AS sz
+                     CAST(round(o_totalprice*100) AS BIGINT) AS sz,
+                     o_orderkey % 8 AS shard
               FROM orders),
             binned AS (
               SELECT sz,
-                     CAST(floor((sum(sz) OVER (ORDER BY sz DESC, file_id
+                     shard * 1000000 +
+                     CAST(floor((sum(sz) OVER (PARTITION BY shard
+                         ORDER BY sz DESC, file_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
                          / 10000000) AS BIGINT) AS bin
               FROM sized)

@@ -79,7 +79,12 @@ def run_maintenance(spark, sf_dir: str, cpus: int) -> dict:
         n_rows = max(10_000, n_li // 2)
     out: dict = {"rows": n_rows}
 
-    root = tempfile.mkdtemp(prefix="cts-bench-")
+    # SPARK_GRAFT_BENCH_DIR relocates the bench table (e.g. to tmpfs for
+    # CPU-scaling runs on the shared-disk sandbox host; unset = /tmp disk)
+    bench_dir = os.environ.get("SPARK_GRAFT_BENCH_DIR") or None
+    if bench_dir:
+        os.makedirs(bench_dir, exist_ok=True)
+    root = tempfile.mkdtemp(prefix="cts-bench-", dir=bench_dir)
     table = TokenTable.create(spark, os.path.join(root, "tbl"))
 
     # fixed generation partitioning → identical bytes at any parallelism

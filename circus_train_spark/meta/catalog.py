@@ -530,6 +530,42 @@ class TokenTable:
         )
 
     # ------------------------------------------------------------ utilities
+    def table_stats(self, snapshot_id: int | None = None) -> dict:
+        """Table-level statistics folded from the manifest (the
+        ``TableAndStatistics`` / ``PartitionsAndStatistics`` analogue —
+        ``core/PartitionsAndStatistics.java:34-110``): totals plus per-
+        partition rollups, all metadata-only (zero data bytes read).
+        Replication carries these implicitly — per-file stats ride in the
+        manifest entries a replica rebinds or rebuilds."""
+        entries = self.manifest_entries(snapshot_id)
+        per_part: dict[str, dict] = {}
+        for e in entries:
+            p = per_part.setdefault(
+                e["partition"],
+                {"files": 0, "rows": 0, "bytes": 0, "min_doc_id": None, "max_doc_id": None},
+            )
+            p["files"] += 1
+            p["rows"] += e["n_rows"]
+            p["bytes"] += e["file_size"]
+            if e["min_doc_id"] is not None:
+                p["min_doc_id"] = (
+                    e["min_doc_id"]
+                    if p["min_doc_id"] is None
+                    else min(p["min_doc_id"], e["min_doc_id"])
+                )
+            if e["max_doc_id"] is not None:
+                p["max_doc_id"] = (
+                    e["max_doc_id"]
+                    if p["max_doc_id"] is None
+                    else max(p["max_doc_id"], e["max_doc_id"])
+                )
+        return {
+            "files": len(entries),
+            "rows": sum(e["n_rows"] for e in entries),
+            "bytes": sum(e["file_size"] for e in entries),
+            "partitions": per_part,
+        }
+
     def table_digest(self, snapshot_id: int | None = None) -> dict:
         from circus_train_spark.functions.digest import table_digest
 

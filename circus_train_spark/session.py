@@ -66,6 +66,14 @@ def get_spark(
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    # Shuffle/spill scratch location. On the shared sandbox host, /tmp sits
+    # on a disk contended by other tenants; pointing scratch at a fast local
+    # dir (tmpfs/NVMe — standard practice on real clusters) isolates
+    # CPU-scaling measurements from unrelated disk traffic.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)

@@ -157,3 +157,22 @@ def test_stats_fallback_for_foreign_files(spark, tmp_path, tokens_df):
     entries_z = t.collect_entries_for_files(files, zkey=True)
     assert all(e["min_zkey"] is None and e["max_zkey"] is None for e in entries_z)
     assert all(e["xor_digest"] is not None for e in entries_z)
+
+
+def test_table_stats_rollup(spark, tmp_path, tokens_df):
+    """Table/partition-level stats object (TableAndStatistics analogue):
+    metadata-only fold of the manifest."""
+    t = TokenTable.create(spark, str(tmp_path / "tbls"))
+    t.append(tokens_df.limit(400), num_files=2)
+    st = t.table_stats()
+    assert st["rows"] == 400
+    assert st["files"] == sum(p["files"] for p in st["partitions"].values())
+    assert st["bytes"] == sum(e["file_size"] for e in t.manifest_entries())
+    for p in st["partitions"].values():
+        assert p["min_doc_id"] <= p["max_doc_id"]
+    # agrees with the data itself
+    by_src = {
+        r["source"]: r["n"]
+        for r in t.scan().groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    assert {s: p["rows"] for s, p in st["partitions"].items()} == by_src

@@ -10,12 +10,20 @@ cd "$(dirname "$0")/.."
 SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 ITERS="${ITERS:-2}"
 OUT="BENCH_SCALING.jsonl"
+# CPU-scaling isolation: table + shuffle scratch on tmpfs so the shared
+# host's contended /tmp disk (other tenants) doesn't alias into the
+# parallelism comparison. Unset both to measure disk-backed throughput.
+export SPARK_GRAFT_BENCH_DIR="${SPARK_GRAFT_BENCH_DIR:-/dev/shm/cts-bench}"
+export SPARK_GRAFT_LOCAL_DIR="${SPARK_GRAFT_LOCAL_DIR:-/dev/shm/cts-shuffle}"
 : > "$OUT"
-for CPUS in ${LEVELS:-"2 8"}; do
-  for I in $(seq 1 "$ITERS"); do
+# levels INTERLEAVED (2,8,2,8,...) so drifting background load samples both
+# legs alike; min-of-N per phase is the noise-resistant estimator.
+for I in $(seq 1 "$ITERS"); do
+  for CPUS in ${LEVELS:-"2 8"}; do
     echo "=== cpus=$CPUS iter=$I sf_dir=$SF_DIR $(date -u +%H:%M:%S) loadavg=$(cut -d' ' -f1-3 /proc/loadavg) ===" >&2
     SPARK_GRAFT_SF_DIR="$SF_DIR" python bench.py --cpus "$CPUS" --skip-queries 2>/dev/null \
       | tail -1 >> "$OUT"
+    rm -rf "$SPARK_GRAFT_BENCH_DIR"/* 2>/dev/null || true
   done
 done
 python tools/scaling_summary.py
