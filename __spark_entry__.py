@@ -638,18 +638,14 @@ def q_sim_pairs_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_window = (F.col("b.vec_id") > F.col("a.vec_id")) & (
         F.col("b.vec_id") <= F.col("a.vec_id") + 25
     )
-    same = a.join(b, (F.col("a.blk") == F.col("b.blk")) & in_window)
-    nxt = a.join(b, (F.col("a.blk") + 1 == F.col("b.blk")) & in_window)
-    return (
-        same.unionByName(nxt)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(_cos(F.col("a.v"), F.col("b.v")), 4).alias("sim"),
-        )
-        .orderBy(F.desc("sim"), "id_a", "id_b")
-        .limit(50)
-    )
+    proj = [
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(_cos(F.col("a.v"), F.col("b.v")), 4).alias("sim"),
+    ]
+    same = a.join(b, (F.col("a.blk") == F.col("b.blk")) & in_window).select(*proj)
+    nxt = a.join(b, (F.col("a.blk") + 1 == F.col("b.blk")) & in_window).select(*proj)
+    return same.unionByName(nxt).orderBy(F.desc("sim"), "id_a", "id_b").limit(50)
 
 
 # ------------------------------------------------------- diff / replication

@@ -11,7 +11,8 @@ with subcommands, run as
 
 Subcommands: create · append · compact · cluster · expire · remove-orphans ·
 housekeeping · rewrite-manifests · merge · replicate · diff · validate ·
-history · check-filter.
+history · check-filter · run (JSON job config, sequential with per-job
+failure isolation — the Locomotive driver loop).
 
 Partition filters may embed SpEL-style dynamic date blocks
 (``#{#nowUtc().minusDays(3).toString("yyyy-MM-dd")}``) which are folded to
@@ -128,6 +129,13 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("history", help="snapshot log of a table")
     sp.add_argument("--table", required=True)
+
+    sp = sub.add_parser(
+        "run",
+        help="run a JSON job config sequentially with per-job failure "
+        "isolation (the Locomotive driver-loop analogue)",
+    )
+    sp.add_argument("--config", required=True)
 
     a = p.parse_args(argv)
 
@@ -301,6 +309,13 @@ def main(argv: list[str] | None = None) -> int:
         res = validate(t)
         _json(res)
         return 0 if res.ok else 1
+
+    if a.cmd == "run":
+        from circus_train_spark.pipeline.runner import run_config_file
+
+        report = run_config_file(spark, a.config)
+        _json(report.as_dict())
+        return 0 if report.ok else 1
 
     if a.cmd == "history":
         t = TokenTable.load(spark, a.table)

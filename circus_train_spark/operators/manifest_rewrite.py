@@ -59,17 +59,26 @@ def rewrite_manifests(
         pq.write_table(chunk, path)
         new_paths.append(path)
 
+    summary = {
+        "manifests_before": len(base.manifests),
+        "manifests_after": len(new_paths),
+        "entries": n,
+    }
+    # this op swaps the manifest list wholesale, so it commits through the
+    # log directly — but it must still carry the versioned schema forward
+    # (expiry could otherwise strand an evolved table without its schema)
+    # and notify commit listeners, like every other commit.
+    if "schema" in base.summary:
+        summary["schema"] = base.summary["schema"]
     snap = table.log.commit(
         expected_parent_id=base.snapshot_id,
         event_id=new_event_id(),
         operation=OP,
         manifests=new_paths,
-        summary={
-            "manifests_before": len(base.manifests),
-            "manifests_after": len(new_paths),
-            "entries": n,
-        },
+        summary=summary,
     )
+    for fn in table.commit_listeners:
+        fn(snap)
     # validation: identical entry multiset (cheap driver-side check)
     before = sorted(
         (r["file_path"], r["n_rows"], r["xor_digest"]) for r in combined.to_pylist()

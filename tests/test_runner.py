@@ -1,0 +1,64 @@
+"""Config-driven sequential runner with per-job failure isolation
+(Locomotive.java:97-133 analogue)."""
+
+import json
+
+from circus_train_spark.meta.catalog import TokenTable
+from circus_train_spark.pipeline.runner import run_config, run_config_file
+
+
+def test_run_config_sequential_and_isolated(spark, tmp_path, tokens_df):
+    t = TokenTable.create(spark, str(tmp_path / "tbl"))
+    t.append(tokens_df.limit(600), num_files=6)
+
+    cfg = {
+        "jobs": [
+            {"op": "compact", "table": str(tmp_path / "tbl"), "target_mb": 512},
+            # failure in the middle: unknown table — must NOT abort the run
+            {"op": "compact", "table": str(tmp_path / "nope")},
+            {"op": "validate", "table": str(tmp_path / "tbl")},
+            {
+                "op": "replicate",
+                "source": str(tmp_path / "tbl"),
+                "replica": str(tmp_path / "rep"),
+                "mode": "incremental",
+            },
+        ]
+    }
+    report = run_config(spark, cfg)
+    codes = [(j.op, j.completion_code) for j in report.jobs]
+    assert codes == [
+        ("compact", 1),
+        ("compact", -1),
+        ("validate", 1),
+        ("replicate", 1),
+    ]
+    assert not report.ok
+    assert "FileNotFoundError" in report.jobs[1].error
+    rep = TokenTable.load(spark, str(tmp_path / "rep"))
+    assert rep.table_digest() == t.table_digest()
+
+
+def test_run_config_file_with_dynamic_filter(spark, tmp_path, tokens_df):
+    t = TokenTable.create(spark, str(tmp_path / "src2"))
+    t.append(tokens_df.limit(300), num_files=2)
+    cfg_path = tmp_path / "jobs.json"
+    cfg_path.write_text(
+        json.dumps(
+            {
+                "jobs": [
+                    {
+                        "op": "replicate",
+                        "source": str(tmp_path / "src2"),
+                        "replica": str(tmp_path / "rep2"),
+                        "mode": "full",
+                        # dynamic block folds to a literal; matches everything
+                        "partition_filter": "partition >= '#{#zeroPadLeft(0, 1)}'",
+                    }
+                ]
+            }
+        )
+    )
+    report = run_config_file(spark, str(cfg_path))
+    assert report.ok
+    assert report.jobs[0].result["rows_copied"] == 300

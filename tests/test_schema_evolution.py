@@ -113,3 +113,27 @@ def test_schema_survives_snapshot_expiry(spark, tmp_path, tokens_df):
     # the alter snapshot is gone; the schema was carried forward in summaries
     assert "lang" in [f.name for f in t.data_schema().fields]
     assert t.scan().filter(F.col("lang") == "en").count() == 150
+
+
+def test_schema_survives_manifest_rewrite_then_expiry(spark, tmp_path, tokens_df):
+    """Regression: rewrite_manifests commits outside TokenTable.commit and
+    must still carry the versioned schema forward — otherwise expiring its
+    ancestors strands an evolved table on the core schema."""
+    from pyspark.sql import functions as F
+    from circus_train_spark.operators.expire import expire_snapshots
+    from circus_train_spark.operators.manifest_rewrite import rewrite_manifests
+
+    t = TokenTable.create(spark, str(tmp_path / "tbl6"))
+    t.alter_schema(_evolved(T.StructField("lang", T.StringType(), True)))
+    for i in range(3):
+        t.append(
+            tokens_df.limit(40 * (i + 1))
+            .subtract(tokens_df.limit(40 * i))
+            .withColumn("lang", F.lit("fr")),
+            num_files=1,
+        )
+    res = rewrite_manifests(t, target_manifests=1)
+    assert res.snapshot_id is not None
+    expire_snapshots(t, keep_last=1)
+    assert "lang" in [f.name for f in t.data_schema().fields]
+    assert t.scan().filter(F.col("lang") == "fr").count() == 120

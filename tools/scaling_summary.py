@@ -45,4 +45,7 @@ def summarize(by=None) -> str:
 
 
 if __name__ == "__main__":
-    print(summarize())
+    import sys
+
+    path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALING.jsonl"
+    print(summarize(load(path)))
