@@ -582,6 +582,45 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", pred.alias("lang_pred"))
 
 
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length / punctuation / shouting /
+    function-word terms) — the pipeline's quality_score operator."""
+    from circus_train_spark.pipeline.text import quality_score
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+_TEXT_QUALITY_SQL = """
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text) AS n,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS total,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 x -> x IN ('the','and','of','to','in','is','that','it','was','for',
+                            'a','an','with','as','on','at','by'))) AS stops
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+             least(n / 500.0, 1.0) AS len_term,
+             1.0 - least((CASE WHEN n = 0 THEN 0.0
+                   ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                        / CAST(n AS DOUBLE) END) * 4, 1.0) AS punct_term,
+             1.0 - least((CASE WHEN n = 0 THEN 0.0
+                   ELSE length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                        / CAST(n AS DOUBLE) END) * 5, 1.0) AS upper_term,
+             least((CASE WHEN total = 0 THEN 0.0
+                    ELSE stops / CAST(total AS DOUBLE) END) * 3, 1.0) AS stop_term
+      FROM t)
+    SELECT doc_id,
+           round((len_term + punct_term + upper_term + stop_term) / 4, 6) AS quality
+    FROM r
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from circus_train_spark.pipeline.dedup import normalized_text
 
@@ -1027,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_exact_keep": q_dedup_exact_keep,
         "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         # similarity
@@ -1274,6 +1314,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sim DESC, id_a, id_b
             LIMIT 50
         """,
+        "text_quality": _TEXT_QUALITY_SQL,
         "ann_topk": _ann_oracle_sql(),
         "ivf_topk": _IVF_SQL,
         "multimodal_features": _MULTIMODAL_SQL,

@@ -67,6 +67,27 @@ def _lcp_len(a: str, b: str) -> int:
     return n
 
 
+def _prune_by_stats_local(
+    entries: list[dict], sorted_keys: list[str]
+) -> tuple[list[dict], int]:
+    """Driver-side stats pruning for SMALL change sets: binary-search the
+    sorted key list against each file's [min, max] range. O(files · log
+    keys), zero Spark jobs — the size-adaptive fast path (a 10^4-key merge
+    shouldn't pay a distributed-join's scheduling latency just to plan)."""
+    from bisect import bisect_left
+
+    kept = []
+    for e in entries:
+        mn, mx = e["min_doc_id"], e["max_doc_id"]
+        if mn is None or mx is None:
+            kept.append(e)  # no stats: conservative keep
+            continue
+        i = bisect_left(sorted_keys, mn)
+        if i < len(sorted_keys) and sorted_keys[i] <= mx:
+            kept.append(e)
+    return kept, len(entries) - len(kept)
+
+
 def _prune_by_stats(entries: list[dict], keys_df: DataFrame) -> tuple[list[dict], int]:
     """Keep manifest entries whose doc_id range may contain a change key.
 
@@ -128,6 +149,7 @@ def merge_into(
     table: TokenTable,
     changes: DataFrame,
     broadcast_threshold_rows: int = 1_000_000,
+    driver_prune_threshold_keys: int = 200_000,
     verify: bool = True,
     run_id: str | None = None,
 ) -> MergeResult:
@@ -162,9 +184,17 @@ def merge_into(
 
     keys = changes.select("doc_id")  # keys are distinct (validated above)
 
-    # 1. stats-based file pruning
+    # 1. stats-based file pruning — size-adaptive: small change sets are
+    # collected (they're cached and tiny) and pruned driver-side with a
+    # binary search; large ones go through the distributed prefix-bucket
+    # join. Saves a whole Spark job of scheduling latency on the common
+    # small-churn merge.
     entries = table.manifest_entries(base.snapshot_id)
-    candidates, n_pruned_stats = _prune_by_stats(entries, keys)
+    if n_changes <= driver_prune_threshold_keys:
+        sorted_keys = sorted(r["doc_id"] for r in keys.collect())
+        candidates, n_pruned_stats = _prune_by_stats_local(entries, sorted_keys)
+    else:
+        candidates, n_pruned_stats = _prune_by_stats(entries, keys)
 
     # 2. touched-file probe: doc_id column only, joined against (key, _op)
     # so ONE job yields the touched-file set, matched-row count AND the

@@ -110,3 +110,20 @@ def test_prune_by_stats_bucketed_equijoin(spark):
     assert {"f4", "f5"} <= kept_paths    # conservative keeps
     assert "f1" not in kept_paths and "f3" not in kept_paths
     assert n_pruned == 2
+
+
+def test_prune_by_stats_local_bisect():
+    from circus_train_spark.operators.merge import _prune_by_stats_local
+
+    entries = [
+        {"file_path": "f1", "min_doc_id": "doc-000", "max_doc_id": "doc-099"},
+        {"file_path": "f2", "min_doc_id": "doc-100", "max_doc_id": "doc-199"},
+        {"file_path": "f3", "min_doc_id": "doc-200", "max_doc_id": "doc-299"},
+        {"file_path": "f4", "min_doc_id": None, "max_doc_id": None},
+    ]
+    kept, pruned = _prune_by_stats_local(entries, ["doc-150", "doc-400"])
+    assert {e["file_path"] for e in kept} == {"f2", "f4"}
+    assert pruned == 2
+    # boundary containment
+    kept, _ = _prune_by_stats_local(entries, ["doc-099"])
+    assert "f1" in {e["file_path"] for e in kept}
