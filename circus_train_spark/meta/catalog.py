@@ -350,17 +350,48 @@ class TokenTable:
             .withColumn(S.ROW_HASH_COL, row_hash())
             .withColumn(S.WRITE_PART_COL, F.col("source"))
         )
+        part_dirs = [S.WRITE_PART_COL]
         if shuffle and num_files:
-            # Range-partition source-major so each write task holds one (or
-            # at a boundary, two) source values: the dynamic-partition writer
-            # then keeps 1-2 open files per task instead of interleaving all
-            # sources through hundreds of buffered writers (measured 3x
-            # faster at sf0.1), and the range sampler gives the hot source
-            # proportionally many tasks — skew balanced by construction.
-            # The xxhash64(doc_id) sub-key spreads rows inside a source.
-            out = out.repartitionByRange(
-                num_files, F.col("source"), F.xxhash64("doc_id")
+            # Source-major file assignment in ONE data pass. (The previous
+            # repartitionByRange(source, xxhash64) plan was skew-balanced
+            # too, but Spark's range sampler re-evaluates the FULL child —
+            # for appends of generated/derived inputs that doubled the token
+            # compute.) Plan: a narrow per-source row-count pre-pass
+            # (Catalyst prunes the token expressions/columns away), then a
+            # row-proportional bin budget per source — the hot source gets
+            # proportionally many files, skew balanced by construction — and
+            # bin = offset + pmod(xxhash64(doc_id), bins_of_source), pure
+            # column algebra. The hash exchange on the bin id lands each bin
+            # wholly in one task; writing with partitionBy(source, bin)
+            # emits exactly one file per bin even when a task carries
+            # several bins.
+            counts = {
+                r["source"]: r["n"]
+                for r in df.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            total = max(1, sum(counts.values()))
+            n_bins: dict[str, int] = {
+                s: max(1, round(num_files * n / total)) for s, n in counts.items()
+            }
+            offsets: dict[str, int] = {}
+            acc = 0
+            for s in sorted(n_bins):
+                offsets[s] = acc
+                acc += n_bins[s]
+            off_expr = F.lit(0)
+            bins_expr = F.lit(1)
+            for s in sorted(n_bins):
+                off_expr = F.when(F.col("source") == s, F.lit(offsets[s])).otherwise(off_expr)
+                bins_expr = F.when(F.col("source") == s, F.lit(n_bins[s])).otherwise(bins_expr)
+            out = (
+                out.withColumn(
+                    "_abin",
+                    (off_expr + F.pmod(F.xxhash64("doc_id"), bins_expr)).cast("int"),
+                )
+                .repartition(max(2 * acc, 1), "_abin")
+                .sortWithinPartitions(S.WRITE_PART_COL, "_abin")
             )
+            part_dirs = [S.WRITE_PART_COL, "_abin"]
         elif num_files:
             out = out.coalesce(num_files)
         from circus_train_spark.meta.writers import WriteRequest, writer_for
@@ -369,7 +400,7 @@ class TokenTable:
             WriteRequest(
                 df=out,
                 dest_dir=stage,
-                partition_cols=[S.WRITE_PART_COL],
+                partition_cols=part_dirs,
                 codec=S.TOKEN_PARQUET_CODEC,
                 mode="append",
             )

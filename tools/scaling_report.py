@@ -1,0 +1,79 @@
+"""Pooled N→4N scaling report over the 1.5 M-row tmpfs leg files.
+
+Pooling rule (documented in BENCH/BASELINE.md): the append / compact /
+cluster / scan code paths are byte-identical across the pre-final and final
+leg sets (verified by commit diff — the interim commits touched only merge,
+the driver-contract queries, and additive catalog helpers), so those phases
+take their per-level minimum over BOTH files. The merge operator changed
+(size-adaptive pruning) between the sets, so merge uses ONLY the final-code
+legs. Per-phase min-of-N is the noise-resistant estimator for the shared,
+externally-loaded host; legs were interleaved (2, 8, 2, 8, …).
+
+Usage: python tools/scaling_report.py [final.jsonl [prefinal.jsonl]]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+PHASES = ["append_s", "compact_s", "cluster_s", "merge_s", "scan_s"]
+POOLED = {"append_s", "compact_s", "cluster_s", "scan_s"}  # code-identical
+FINAL_ONLY = {"merge_s"}  # operator changed between the leg sets
+
+
+def load(path: str) -> list[dict]:
+    return [json.loads(l) for l in open(path) if l.strip()]
+
+
+def main() -> None:
+    final_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALING.jsonl"
+    pre_path = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else "BENCH/scaling_tmpfs_15M_prefinal.jsonl"
+    )
+    final = load(final_path)
+    pre = load(pre_path)
+
+    def mins(runs: list[dict], phase: str) -> dict[int, float]:
+        out: dict[int, float] = {}
+        for r in runs:
+            c = r["cpus"]
+            out[c] = min(out.get(c, float("inf")), r[phase])
+        return out
+
+    lo_sum = hi_sum = 0.0
+    print("| phase | local[2] s | local[8] s | speedup | efficiency | legs |")
+    print("|---|---|---|---|---|---|")
+    for p in PHASES:
+        pool = final + pre if p in POOLED else final
+        m = mins(pool, p)
+        lo, hi = m[2], m[8]
+        lo_sum += lo
+        hi_sum += hi
+        n2 = sum(1 for r in pool if r["cpus"] == 2)
+        n8 = sum(1 for r in pool if r["cpus"] == 8)
+        tag = f"{n2}+{n8}" + ("" if p in POOLED else " (final only)")
+        print(
+            f"| {p:10} | {lo:.1f} | {hi:.1f} | {lo / hi:.2f}x | "
+            f"{lo / hi / 4:.2f} | {tag} |"
+        )
+    print(
+        f"| {'TOTAL':10} | {lo_sum:.1f} | {hi_sum:.1f} | "
+        f"{lo_sum / hi_sum:.2f}x | {lo_sum / hi_sum / 4:.2f} | |"
+    )
+    hi_runs = [r for r in final + pre if r["cpus"] == 8]
+    print()
+    print(
+        "Best local[8] scan throughput:",
+        f"{max(r['scan_seq_per_sec'] for r in hi_runs):,.0f} sequences/sec",
+    )
+    print(
+        "Best local[8] compaction throughput:",
+        f"{max(r['compact_gb_per_hr'] for r in hi_runs):,.1f} GB/hr",
+    )
+
+
+if __name__ == "__main__":
+    main()
