@@ -754,11 +754,12 @@ SELECT 'zzz_extra', 'deleted', NULL,
 """
 
 
-# -------------------------------------- rows-only (non-SQL-expressible) ops
+# ---------------- xxhash64-based ops (oracle = independent Python fixture)
 
 
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup removal (xxhash64-based — no DuckDB analogue)."""
+    """MinHash+LSH near-dup removal. Oracle = precomputed fixture from an
+    independent pure-Python XXH64 replication (tools/make_hash_fixtures.py)."""
     from circus_train_spark.pipeline.dedup import minhash_dedup
 
     return minhash_dedup(_doubled_docs(spark, sf_dir), threshold=0.8).select(
@@ -1318,4 +1319,20 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ann_oracle_sql(),
         "ivf_topk": _IVF_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
+        # xxhash64-based queries: DuckDB has no Spark-compatible xxhash64,
+        # so the oracle reads an expected-result fixture derived by an
+        # INDEPENDENT pure-Python XXH64 pipeline (tools/make_hash_fixtures.py,
+        # hash impl cross-checked vs Spark in tests/test_hash_oracle.py).
+        # corpus_key = sum(n_chars) selects the fixture matching the sf the
+        # driver registered as the `documents` view.
+        "minhash_lsh_dedup": """
+            SELECT doc_id, source
+            FROM read_parquet('/root/repo/fixtures/minhash_lsh_dedup/*.parquet')
+            WHERE corpus_key = (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+        """,
+        "simhash_fingerprint": """
+            SELECT doc_id, simhash
+            FROM read_parquet('/root/repo/fixtures/simhash_fingerprint/*.parquet')
+            WHERE corpus_key = (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+        """,
     }

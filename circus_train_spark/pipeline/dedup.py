@@ -78,12 +78,24 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def _hash_family(i: int):
+    """Unary lambda hashing a shingle under family seed ``i``.
+
+    MUST stay a single-parameter lambda: a two-parameter lambda (e.g. the
+    ``lambda s, i=i`` closure idiom) is treated by ``F.transform`` as the
+    binary ``(element, index)`` form, silently binding the second name to
+    the array position — every family would hash with the element's index
+    as its seed and the signature degenerates to one hash function.
+    """
+    return lambda s: F.xxhash64(s, F.lit(i))
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """Array of ``num_hashes`` minhash values — pure JVM: each hash family is
     xxhash64(shingle, seed_i), minimum over the shingle set."""
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.array_min(F.transform(shingles, _hash_family(i)))
             for i in range(num_hashes)
         ]
     )
