@@ -152,22 +152,34 @@ def make_zbin_udf(
     n_tok_min: int,
     n_tok_max: int,
     curve: str,
-    boundaries: dict[str, list[int]],
-    offsets: dict[str, int],
+    boundaries: dict[str, list[list[int]]],
+    offsets: dict[str, list[int]],
+    n_shards: dict[str, int] | None = None,
 ):
     """Pandas UDF computing (zkey, bin) in ONE Arrow pass.
 
-    ``bin`` is the output-file index: per source, a vectorized
-    ``np.searchsorted`` against the pre-sampled zkey quantile boundaries
-    (plus the source's global bin offset). This replaces
+    ``bin`` is the output-file index: per (source, hash sub-shard), a
+    vectorized ``np.searchsorted`` against the pre-sampled zkey quantile
+    boundaries plus that shard's global bin offset. This replaces
     ``repartitionByRange``'s sampling pass — which re-evaluates the full
     child plan (token decode + key UDF) a second time — with an explicit
     assignment computed alongside the key itself. O(log bins) per row,
     fully vectorized.
+
+    Sub-shards lift the quantile-resolution ceiling: a source whose bin
+    budget exceeds what one ``percentile_approx`` can resolve is hash-split
+    on ``pmod(xxhash64(doc_id), n_shards)`` (the same expression the
+    boundary job groups on), and each shard carries its own boundary list —
+    so the per-source bin count is unbounded while every sketch stays small.
+    ``boundaries[s][i]`` / ``offsets[s][i]`` are shard *i* of source *s*.
     """
     codes = dict(source_codes)
-    bnds = {s: np.asarray(b, dtype=np.int64) for s, b in boundaries.items()}
-    offs = dict(offsets)
+    bnds = {
+        s: [np.asarray(b, dtype=np.int64) for b in per_shard]
+        for s, per_shard in boundaries.items()
+    }
+    offs = {s: list(o) for s, o in offsets.items()}
+    shards = {s: int(n) for s, n in (n_shards or {}).items()}
 
     @F.pandas_udf("zkey bigint, bin int")
     def zbin(doc_hash: pd.Series, n_tok: pd.Series, source: pd.Series) -> pd.DataFrame:
@@ -179,15 +191,36 @@ def make_zbin_udf(
             c = source.map(codes).fillna(0).to_numpy(dtype=np.uint64)
             zk = morton3(a, b, c)
         src = source.to_numpy()
+        h = doc_hash.to_numpy()
         bins = np.zeros(len(zk), dtype=np.int64)
         for s in pd.unique(source):
             m = src == s
-            bd = bnds.get(s)
-            off = offs.get(s, 0)
-            if bd is None or len(bd) == 0:
-                bins[m] = off
+            blist = bnds.get(s) or []
+            olist = offs.get(s) or [0]
+            ns = shards.get(s, 1)
+            if ns <= 1:
+                bd = blist[0] if blist else None
+                off = olist[0]
+                if bd is None or len(bd) == 0:
+                    bins[m] = off
+                else:
+                    bins[m] = off + np.searchsorted(bd, zk[m], side="right")
             else:
-                bins[m] = off + np.searchsorted(bd, zk[m], side="right")
+                # same pmod as the boundary job's _shard column
+                sh = np.mod(h[m], np.int64(ns))
+                sub = np.zeros(int(m.sum()), dtype=np.int64)
+                zs = zk[m]
+                for i in range(ns):
+                    mm = sh == i
+                    if not mm.any():
+                        continue
+                    bd = blist[i] if i < len(blist) else None
+                    off = olist[i] if i < len(olist) else 0
+                    if bd is None or len(bd) == 0:
+                        sub[mm] = off
+                    else:
+                        sub[mm] = off + np.searchsorted(bd, zs[mm], side="right")
+                bins[m] = sub
         return pd.DataFrame({"zkey": zk, "bin": bins.astype(np.int32)})
 
     return zbin

@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 from circus_train_spark.ids import new_event_id
 from circus_train_spark.meta import schema as S
 from circus_train_spark.meta.lineage import LineageLog
-from circus_train_spark.meta.snapshot import Snapshot, SnapshotLog
+from circus_train_spark.meta.snapshot import CommitConflictError, Snapshot, SnapshotLog
 
 _ARROW_MANIFEST_SCHEMA = pa.schema(
     [
@@ -474,6 +474,40 @@ class TokenTable:
         return sorted(entries, key=lambda e: e["file_path"])
 
     # --------------------------------------------------------------- commit
+    def _rewrite_manifests_for_removal(
+        self, parent: Snapshot, removed_paths: set[str]
+    ) -> list[str]:
+        """Carry forward manifests untouched by the removal; rewrite the rest
+        without the removed entries. Manifest reads/writes are parallelized
+        across the same bounded thread pool as ``manifest_entries`` (pyarrow
+        releases the GIL) — at 10^3 manifests the serial loop was the
+        commit's latency floor."""
+
+        def _one(m: str) -> str | None:
+            tbl = pq.read_table(m)
+            mask = [p not in removed_paths for p in tbl.column("file_path").to_pylist()]
+            if all(mask):
+                return m
+            kept = tbl.filter(pa.array(mask))
+            if not len(kept):
+                return None
+            path = os.path.join(
+                self.manifest_dir, f"manifest-{uuid.uuid4().hex}.parquet"
+            )
+            pq.write_table(kept, path)
+            return path
+
+        if len(parent.manifests) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(16, len(parent.manifests))
+            ) as pool:
+                results = list(pool.map(_one, parent.manifests))
+        else:
+            results = [_one(m) for m in parent.manifests]
+        return [m for m in results if m is not None]
+
     def commit(
         self,
         *,
@@ -483,10 +517,22 @@ class TokenTable:
         summary: dict | None = None,
         expected_parent_id: int | None = None,
         event_id: str | None = None,
+        conflict_retries: int = 4,
     ) -> Snapshot:
         """Copy-on-write metadata commit: carry forward untouched manifests,
         rewrite manifests that lose entries, add one manifest for new files,
-        then atomically swap the snapshot pointer."""
+        then atomically swap the snapshot pointer.
+
+        Concurrency: optimistic with bounded automatic rebase (Iceberg-style
+        snapshot isolation). When the head moved under the committer, the
+        commit is re-based onto the new head and retried, provided every path
+        this commit removes is still live there — i.e. no concurrent commit
+        rewrote or deleted a file we read. A true overlap (some removed path
+        already gone) raises ``CommitConflictError``; the operator must
+        re-plan. Reference analogue: per-table failure-isolated metastore
+        upserts (``core/replica/Replica.java:210-267``,
+        ``core/Locomotive.java:107-126``).
+        """
         event_id = event_id or new_event_id()
         parent = self.current_snapshot()
         if expected_parent_id is None:
@@ -494,55 +540,89 @@ class TokenTable:
         elif expected_parent_id != parent.snapshot_id:
             # surface conflicts early; SnapshotLog re-checks under the lock
             parent = self.snapshot(expected_parent_id)
-        new_sid = expected_parent_id + 1
-        manifests: list[str] = []
-        removed_paths = removed_paths or set()
-        n_removed = 0
-        if removed_paths:
-            for m in self.snapshot(expected_parent_id).manifests:
-                tbl = pq.read_table(m)
-                mask = [p not in removed_paths for p in tbl.column("file_path").to_pylist()]
-                if all(mask):
-                    manifests.append(m)
-                    continue
-                kept = tbl.filter(pa.array(mask))
-                n_removed += len(tbl) - len(kept)
-                if len(kept):
-                    path = os.path.join(
-                        self.manifest_dir, f"manifest-{uuid.uuid4().hex}.parquet"
-                    )
-                    pq.write_table(kept, path)
-                    manifests.append(path)
-        else:
-            manifests = list(self.snapshot(expected_parent_id).manifests)
         added = added or []
         if added:
             for t in self.entry_transforms:
                 added = [t(dict(e)) for e in added]
-            for e in added:
+        removed_paths = removed_paths or set()
+
+        attempt = 0
+        while True:
+            snap_or_conflict = self._try_commit(
+                operation=operation,
+                parent=parent,
+                added=added,
+                removed_paths=removed_paths,
+                summary=summary,
+                event_id=event_id,
+            )
+            if isinstance(snap_or_conflict, Snapshot):
+                snap = snap_or_conflict
+                break
+            attempt += 1
+            if attempt > conflict_retries:
+                raise CommitConflictError(
+                    f"commit of {operation!r} lost {attempt} straight races; giving up"
+                ) from snap_or_conflict
+            # rebase: valid iff no concurrent commit touched a file we remove
+            head = self.current_snapshot()
+            if removed_paths:
+                live = {e["file_path"] for e in self.manifest_entries(head.snapshot_id)}
+                missing = removed_paths - live
+                if missing:
+                    raise CommitConflictError(
+                        f"conflicting concurrent commit: {len(missing)} file(s) this "
+                        f"{operation!r} rewrites were removed by another commit "
+                        f"(e.g. {sorted(missing)[0]}); re-plan required"
+                    ) from snap_or_conflict
+            parent = head
+        for fn in self.commit_listeners:
+            fn(snap)
+        return snap
+
+    def _try_commit(
+        self,
+        *,
+        operation: str,
+        parent: Snapshot,
+        added: list[dict],
+        removed_paths: set[str],
+        summary: dict | None,
+        event_id: str,
+    ) -> "Snapshot | CommitConflictError":
+        """One optimistic attempt against ``parent``; returns the conflict
+        (not raises) so the caller's rebase loop stays exception-clean."""
+        new_sid = parent.snapshot_id + 1
+        if removed_paths:
+            manifests = self._rewrite_manifests_for_removal(parent, removed_paths)
+        else:
+            manifests = list(parent.manifests)
+        if added:
+            stamped = [dict(e) for e in added]
+            for e in stamped:
                 e["added_snapshot_id"] = new_sid
-            manifests.append(self.write_manifest(added))
+            manifests.append(self.write_manifest(stamped))
         summary = dict(summary or {})
         if "schema" not in summary:
             # carry the schema forward so expiring old snapshots never
             # loses the table's evolved schema
-            parent_schema = self.snapshot(expected_parent_id).summary.get("schema")
+            parent_schema = parent.summary.get("schema")
             if parent_schema:
                 summary["schema"] = parent_schema
         summary.setdefault("added_files", len(added))
         summary.setdefault("removed_files", len(removed_paths))
         summary.setdefault("added_rows", sum(e["n_rows"] for e in added))
         summary.setdefault("added_bytes", sum(e["file_size"] for e in added))
-        snap = self.log.commit(
-            expected_parent_id=expected_parent_id,
-            event_id=event_id,
-            operation=operation,
-            manifests=manifests,
-            summary=summary,
-        )
-        for fn in self.commit_listeners:
-            fn(snap)
-        return snap
+        try:
+            return self.log.commit(
+                expected_parent_id=parent.snapshot_id,
+                event_id=event_id,
+                operation=operation,
+                manifests=manifests,
+                summary=summary,
+            )
+        except CommitConflictError as e:
+            return e
 
     def append(
         self,

@@ -45,6 +45,10 @@ from circus_train_spark.functions.zorder import with_zkey
 
 OP = "cluster"
 
+# Max bins resolved by one percentile_approx sketch; sources needing more
+# are hash-sub-sharded so the per-source bin budget is unbounded.
+MAX_SHARD_BINS = 4096
+
 
 @dataclass
 class ClusterResult:
@@ -67,6 +71,7 @@ def cluster(
     n_salts: int = 16,  # noqa: ARG001 — deprecated, unused
     verify: bool = True,
     run_id: str | None = None,
+    max_shard_bins: int = MAX_SHARD_BINS,
 ) -> ClusterResult:
     t0 = time.monotonic()
     event_id = run_id or new_event_id()
@@ -96,19 +101,37 @@ def cluster(
     n_bins = {
         s: max(1, math.ceil(b / target_file_bytes)) for s, b in bytes_by_source.items()
     }
-    offsets: dict[str, int] = {}
+    # two-level boundaries: a source whose bin budget exceeds one
+    # percentile_approx's useful resolution is hash-split into sub-shards
+    # (pmod(xxhash64(doc_id), n_shards)), each quantiled independently —
+    # so the per-source bin count is unbounded (a 100 TB single source gets
+    # its full ~200k bins) while every sketch stays <= MAX_SHARD_BINS wide.
+    n_shards = {
+        s: max(1, math.ceil(n_bins[s] / max_shard_bins)) for s in sources
+    }
+    shard_bins: dict[str, list[int]] = {}
+    for s in sources:
+        k, rem = divmod(n_bins[s], n_shards[s])
+        shard_bins[s] = [k + (1 if i < rem else 0) for i in range(n_shards[s])]
+    offsets: dict[str, list[int]] = {}
     acc = 0
     for s in sources:
-        offsets[s] = acc
-        acc += n_bins[s]
+        offsets[s] = []
+        for kb in shard_bins[s]:
+            offsets[s].append(acc)
+            acc += kb
     n_out = acc
 
     if verify:
         digest_before = table.table_digest(base.snapshot_id)
 
     # boundary sampling: narrow columns only (tokens stay on disk)
-    boundaries: dict[str, list[int]] = {s: [] for s in sources}
-    q_fine = min(4096, max(n_bins.values()))
+    boundaries: dict[str, list[list[int]]] = {
+        s: [[] for _ in range(n_shards[s])] for s in sources
+    }
+    q_fine = min(
+        max_shard_bins, max(kb for per in shard_bins.values() for kb in per)
+    )
     if q_fine > 1:
         narrow = (
             table.spark.read.schema(S.STATS_READ_SCHEMA)
@@ -116,30 +139,39 @@ def cluster(
             .select("doc_id", "n_tok", "source")
         )
         zn = with_zkey(narrow, source_codes, n_tok_min, n_tok_max, curve=curve)
+        shard_expr = F.lit(0)
+        for s in sources:
+            if n_shards[s] > 1:
+                shard_expr = F.when(
+                    F.col("source") == s,
+                    F.pmod(F.xxhash64("doc_id"), F.lit(n_shards[s])),
+                ).otherwise(shard_expr)
+        zn = zn.withColumn("_shard", shard_expr.cast("int"))
         probs = [i / q_fine for i in range(1, q_fine)]
         qrows = (
-            zn.groupBy("source")
+            zn.groupBy("source", "_shard")
             .agg(F.percentile_approx("zkey", probs, 10_000).alias("qs"))
             .collect()
         )
-        fine = {r["source"]: list(r["qs"]) for r in qrows}
+        fine = {(r["source"], r["_shard"]): list(r["qs"]) for r in qrows}
         for s in sources:
-            k = n_bins[s]
-            qs = fine.get(s)
-            if k <= 1 or not qs:
-                continue
-            # pick k-1 evenly spaced fine quantiles as bin boundaries
-            picked = {
-                qs[min(len(qs) - 1, max(0, round(j * q_fine / k) - 1))]
-                for j in range(1, k)
-            }
-            boundaries[s] = sorted(picked)
+            for sh in range(n_shards[s]):
+                k = shard_bins[s][sh]
+                qs = fine.get((s, sh))
+                if k <= 1 or not qs:
+                    continue
+                # pick k-1 evenly spaced fine quantiles as bin boundaries
+                picked = {
+                    qs[min(len(qs) - 1, max(0, round(j * q_fine / k) - 1))]
+                    for j in range(1, k)
+                }
+                boundaries[s][sh] = sorted(picked)
 
     from circus_train_spark.functions.digest import row_hash
     from circus_train_spark.functions.zorder import make_zbin_udf
 
     zbin = make_zbin_udf(
-        source_codes, n_tok_min, n_tok_max, curve, boundaries, offsets
+        source_codes, n_tok_min, n_tok_max, curve, boundaries, offsets, n_shards
     )
     df = table.scan(files=in_files)
     data_cols = [f.name for f in table.data_schema().fields]

@@ -208,14 +208,17 @@ def merge_into(
             .select("doc_id", F.input_file_name().alias("_file"))
             .join(keyside(changes.select("doc_id", "_op")), "doc_id", "inner")
         )
-        agg = probe.agg(
-            F.collect_set("_file").alias("files"),
+        # per-file grouped aggregate (NOT collect_set into one global row):
+        # the reduction stays parallel and each result row is tiny, so a
+        # 10^6-touched-file merge never funnels a multi-hundred-MB file-set
+        # array through a single reducer task.
+        per_file = probe.groupBy("_file").agg(
             F.count(F.lit(1)).alias("n"),
             F.count(F.when(F.col("_op") == "upsert", 1)).alias("nu"),
-        ).collect()[0]
-        n_existing = agg["n"]
-        matched_upserts = agg["nu"]
-        touched = sorted(_strip(p) for p in agg["files"])
+        ).collect()
+        n_existing = sum(r["n"] for r in per_file)
+        matched_upserts = sum(r["nu"] for r in per_file)
+        touched = sorted(_strip(r["_file"]) for r in per_file)
 
     n_updated = matched_upserts
     n_inserted = n_upserts - matched_upserts

@@ -99,16 +99,59 @@ def test_snapshot_isolation(table, tokens_df):
     assert ops == ["create", "append", "append"]
 
 
-def test_commit_conflict(table, tokens_df):
+def test_commit_conflict_rebase_and_overlap(table, tokens_df):
     s1 = table.append(tokens_df.limit(10), num_files=1)
     base = s1.snapshot_id
     table.append(tokens_df.limit(5), num_files=1)  # head moves
+    files_before = set(table.file_paths())
+    # disjoint stale-parent commit auto-rebases onto the new head
+    snap = table.commit(operation="append", added=[], expected_parent_id=base)
+    assert snap.snapshot_id == table.current_snapshot().snapshot_id
+    # all files from both concurrent lineages are live after the rebase
+    assert set(table.file_paths()) == files_before
+    # true overlap (removing an already-removed path) still raises
+    victim = table.file_paths()[0]
+    table.commit(operation="delete", removed_paths={victim})
+    with pytest.raises(CommitConflictError):
+        table.commit(
+            operation="delete",
+            removed_paths={victim},
+            expected_parent_id=snap.snapshot_id,
+        )
+    # retries exhausted (no rebase allowed) surfaces the conflict too
     with pytest.raises(CommitConflictError):
         table.commit(
             operation="append",
             added=[],
             expected_parent_id=base,
+            conflict_retries=0,
         )
+
+
+def test_concurrent_append_and_compact_both_land(spark, tmp_path, tokens_df):
+    """VERDICT r2 #4: two committers planned against the same base — a
+    compact (removes the files it read) and an append (adds new files) —
+    both commit without manual re-planning; rows from both survive."""
+    from circus_train_spark.operators.compact import compact
+
+    t = TokenTable.create(spark, str(tmp_path / "ccr"))
+    t.append(tokens_df.limit(20), num_files=8)
+    base = t.current_snapshot().snapshot_id
+    rows_before = t.table_digest()["n_rows"]
+
+    # compact plans + writes against `base`, but a concurrent append lands
+    # first: inject it via a commit listener... simpler: stage the append's
+    # files, then run compact, then commit the append with the stale parent.
+    extra = tokens_df.limit(5)
+    eid = "concurrent-append"
+    entries = t.write_data_files(extra, eid, num_files=1)
+    res = compact(t, target_file_bytes=512 * 1024 * 1024)
+    assert res.files_out < res.files_in
+    snap = t.commit(
+        operation="append", added=entries, expected_parent_id=base
+    )  # stale parent, disjoint files -> auto-rebase
+    assert snap.parent_id == res.snapshot_id
+    assert t.table_digest()["n_rows"] == rows_before + 5
 
 
 def test_scan_partition_predicate_and_limit(spark, tmp_path, tokens_df):
