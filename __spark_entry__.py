@@ -870,6 +870,91 @@ def q_tml_stream_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_summary(table.scan())
 
 
+def q_tml_housekeeping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deferred-deletion housekeeping end-to-end: compact, expire with a
+    grace period (files queued, still on disk), advance the clock past the
+    grace cutoff, run housekeeping (queued files physically deleted), remove
+    a planted orphan — the post-housekeeping scan must equal the identity
+    derivation. Reference: ``HousekeepingRunner.java:56-75``, integration
+    assertion ``CircusTrainHdfsHdfsIntegrationTest.java:169-179``."""
+    import time as _time
+
+    from circus_train_spark.operators.compact import compact
+    from circus_train_spark.operators.expire import expire_snapshots
+    from circus_train_spark.operators.housekeeping import (
+        DEFAULT_GRACE_MS,
+        pending_deletions,
+        remove_orphan_files,
+        run_housekeeping,
+    )
+
+    from circus_train_spark.meta.catalog import TokenTable
+
+    # two appends so every source partition holds >=2 files — compact then
+    # genuinely rewrites, leaving the originals for housekeeping to reclaim
+    root = tempfile.mkdtemp(prefix="cts-entry-")
+    table = TokenTable.create(spark, os.path.join(root, "tbl"))
+    docs = tokenized_documents(spark, sf_dir)
+    for bucket in range(2):
+        table.append(docs.filter(F.crc32(F.col("doc_id")) % 2 == bucket), num_files=2)
+    files_before = set(table.file_paths())
+    compact(table, target_file_bytes=512 * 1024 * 1024, small_file_threshold=None)
+    assert set(table.file_paths()) != files_before, "compact must rewrite files"
+    expire_snapshots(table, keep_last=1, grace_period_ms=DEFAULT_GRACE_MS)
+    queued = pending_deletions(table)
+    assert queued, "expire with a grace period must queue deferred deletions"
+    assert all(os.path.exists(p) for p in files_before), "grace period violated"
+    # orphan: a staged file whose commit never happened (crash hygiene)
+    orphan = os.path.join(table.data_dir, "crashed-evt", "orphan.parquet")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1crashed-stage-residuePAR1")
+    future = int(_time.time() * 1000) + DEFAULT_GRACE_MS + 24 * 3600 * 1000
+    hk = run_housekeeping(table, now_ms=future)
+    assert hk.files_deleted == len(queued), "queued files must be deleted after grace"
+    assert not pending_deletions(table), "queue must drain"
+    orph = remove_orphan_files(table, now_ms=future)
+    assert not os.path.exists(orphan), "orphan file must be removed"
+    assert orph.files_deleted >= 1
+    return _scan_summary(table.scan())
+
+
+def q_dynamic_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpEL-style dynamic filter: a ``#{...}`` date fragment folded to a
+    literal against a pinned clock BEFORE planning, then applied as a
+    Catalyst predicate (``core/SpelParsedPartitionPredicate.java:38-52``,
+    helpers ``core/conf/ExpressionParserFunctions.java``). The oracle
+    recomputes the same date arithmetic in SQL."""
+    from datetime import datetime, timezone
+
+    from circus_train_spark.functions.expressions import resolve_expressions
+
+    flt = resolve_expressions(
+        "ts >= '#{#nowUtc().minusDays(14).withTimeAtStartOfDay()"
+        '.toString("yyyy-MM-dd HH:mm:ss")}\'',
+        now=datetime(2024, 1, 31, tzinfo=timezone.utc),
+    )
+    assert "#{" not in flt and "2024-01-17 00:00:00" in flt
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.filter(F.expr(flt))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("value_c"),
+        )
+    )
+
+
+_DYNAMIC_FILTER_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events
+WHERE ts >= date_trunc('day', TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 14 DAY)
+GROUP BY event_type
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-3-gram Jaccard similarity over an id-window block —
     the exact-verification primitive behind MinHash candidates."""
@@ -1045,6 +1130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tml_merge_scan": q_tml_merge_scan,
         "tml_time_travel_scan": q_tml_time_travel_scan,
         "tml_stream_ingest_scan": q_tml_stream_ingest_scan,
+        "tml_housekeeping_scan": q_tml_housekeeping_scan,
+        "dynamic_filter_scan": q_dynamic_filter_scan,
         # diff + replication (the reference's core pipeline)
         "table_diff": q_table_diff,
         "table_replicate_scan": q_table_replicate_scan,
@@ -1095,6 +1182,8 @@ def oracle_sql() -> dict[str, str]:
         "tml_merge_scan": _TML_MERGE_SQL,
         "tml_time_travel_scan": _TML_TIME_TRAVEL_SQL,
         "tml_stream_ingest_scan": tok_identity,
+        "tml_housekeeping_scan": tok_identity,
+        "dynamic_filter_scan": _DYNAMIC_FILTER_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "table_diff": _TABLE_DIFF_SQL,
         "table_replicate_scan": tok_identity,

@@ -25,6 +25,7 @@ scope.
 
 from __future__ import annotations
 
+import ast
 import re
 from datetime import datetime, timedelta, timezone
 
@@ -157,11 +158,64 @@ def _make_namespace(now: datetime | None):
     return ns
 
 
+class ExpressionError(ValueError):
+    """A ``#{...}`` block used syntax outside the whitelisted subset."""
+
+
+def _safe_eval(expr: str, ns: dict):
+    """AST-whitelisted evaluator: calls, attribute chains, names from the
+    helper namespace, and (possibly negated) literal constants — nothing
+    else. Not ``eval``: there is no route to builtins, comprehensions,
+    subscripts, lambdas, or dunder traversal (``().__class__``-style chains
+    die on both the Tuple node and the underscore-attribute check)."""
+    try:
+        tree = ast.parse(expr, mode="eval")
+    except SyntaxError as e:
+        raise ExpressionError(f"bad filter expression {expr!r}: {e}") from e
+
+    def ev(node):
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.Constant):
+            if isinstance(node.value, (str, int, float, bool)) or node.value is None:
+                return node.value
+            raise ExpressionError(f"literal {node.value!r} not allowed")
+        if isinstance(node, ast.Name):
+            if node.id.startswith("_") or node.id not in ns:
+                raise ExpressionError(f"unknown name {node.id!r}")
+            return ns[node.id]
+        if isinstance(node, ast.Attribute):
+            if node.attr.startswith("_"):
+                raise ExpressionError(f"attribute {node.attr!r} not allowed")
+            return getattr(ev(node.value), node.attr)
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+            v = ev(node.operand)
+            if not isinstance(v, (int, float)):
+                raise ExpressionError("unary minus only on numbers")
+            return -v
+        if isinstance(node, ast.Call):
+            func = ev(node.func)
+            args = [ev(a) for a in node.args]
+            kwargs = {}
+            for k in node.keywords:
+                if k.arg is None or k.arg.startswith("_"):
+                    raise ExpressionError("**kwargs / private keywords not allowed")
+                kwargs[k.arg] = ev(k.value)
+            return func(*args, **kwargs)
+        raise ExpressionError(
+            f"syntax {type(node).__name__} not allowed in filter expressions"
+        )
+
+    return ev(tree)
+
+
 def resolve_expressions(text: str, now: datetime | None = None) -> str:
     """Fold every ``#{...}`` block in ``text`` to its literal value.
 
     ``now`` pins the clock for deterministic tests. SpEL's root-context
     references (``#nowUtc()``) drop their ``#`` prefix before evaluation.
+    Evaluation is an AST-whitelisted walk (see ``_safe_eval``), so a filter
+    string can only call the documented helper namespace.
     """
     if "#{" not in text:
         return text
@@ -170,7 +224,6 @@ def resolve_expressions(text: str, now: datetime | None = None) -> str:
     def _eval(match: re.Match) -> str:
         expr = match.group(1).strip()
         expr = re.sub(r"#(?=[A-Za-z_])", "", expr)  # '#nowUtc()' -> 'nowUtc()'
-        value = eval(expr, {"__builtins__": {}}, ns)  # noqa: S307 — job-spec trust model, empty builtins
-        return str(value)
+        return str(_safe_eval(expr, ns))
 
     return _BLOCK.sub(_eval, text)

@@ -31,9 +31,11 @@ I/O, and no data bytes are read.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 import pyarrow.parquet as pq
@@ -74,6 +76,22 @@ def _queue_path(table: TokenTable) -> str:
     return os.path.join(table.root, "lineage", _QUEUE_FILE)
 
 
+@contextmanager
+def _queue_lock(table: TokenTable):
+    """Advisory flock serializing queue mutations — the same posture as
+    SnapshotLog commits. Without it, a concurrent ``schedule_deletions``
+    append between ``run_housekeeping``'s read and its ``os.replace`` would
+    be silently dropped (losing that path's grace-clock entry)."""
+    lock_path = _queue_path(table) + ".lock"
+    os.makedirs(os.path.dirname(lock_path), exist_ok=True)
+    with open(lock_path, "a") as lock:
+        fcntl.flock(lock.fileno(), fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lock.fileno(), fcntl.LOCK_UN)
+
+
 def schedule_deletions(
     table: TokenTable, paths: list[str], event_id: str | None = None
 ) -> int:
@@ -84,8 +102,7 @@ def schedule_deletions(
     event_id = event_id or new_event_id()
     now_ms = int(time.time() * 1000)
     qp = _queue_path(table)
-    os.makedirs(os.path.dirname(qp), exist_ok=True)
-    with open(qp, "a") as f:
+    with _queue_lock(table), open(qp, "a") as f:
         for p in sorted(paths):
             f.write(
                 json.dumps(
@@ -120,26 +137,27 @@ def run_housekeeping(
     t0 = time.monotonic()
     now_ms = now_ms if now_ms is not None else int(time.time() * 1000)
     cutoff = now_ms - grace_period_ms
-    entries = pending_deletions(table)
-    due = [e for e in entries if e["scheduled_at_ms"] <= cutoff]
-    keep = [e for e in entries if e["scheduled_at_ms"] > cutoff]
     deleted = 0
     bytes_reclaimed = 0
-    for e in due:
-        p = e["path"]
-        try:
-            bytes_reclaimed += os.path.getsize(p)
-            os.remove(p)
-            deleted += 1
-        except FileNotFoundError:
-            pass
-    qp = _queue_path(table)
-    if entries:
-        tmp = f"{qp}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            for e in keep:
-                f.write(json.dumps(e) + "\n")
-        os.replace(tmp, qp)
+    with _queue_lock(table):
+        entries = pending_deletions(table)
+        due = [e for e in entries if e["scheduled_at_ms"] <= cutoff]
+        keep = [e for e in entries if e["scheduled_at_ms"] > cutoff]
+        for e in due:
+            p = e["path"]
+            try:
+                bytes_reclaimed += os.path.getsize(p)
+                os.remove(p)
+                deleted += 1
+            except FileNotFoundError:
+                pass
+        qp = _queue_path(table)
+        if entries:
+            tmp = f"{qp}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                for e in keep:
+                    f.write(json.dumps(e) + "\n")
+            os.replace(tmp, qp)
     if due:
         table.lineage.append(
             LineageRecord(

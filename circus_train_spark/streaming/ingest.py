@@ -61,8 +61,20 @@ def ingest_stream(
         }
         if gid in done or batch_id in done:  # redelivery after restart
             return
+        # reconcile against the table's CURRENT schema: an alter_schema that
+        # added a column while the stream runs must not fail every subsequent
+        # micro-batch (the source stream's schema was fixed at start) —
+        # columns the batch lacks are null-filled with their declared type,
+        # exactly how the scan reconciles pre-evolution data files.
+        from pyspark.sql import functions as F
+
+        have = set(batch_df.columns)
+        cols = [
+            F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in table.data_schema().fields
+        ]
         snap = table.append(
-            batch_df.select(*[f.name for f in table.data_schema().fields]),
+            batch_df.select(*cols),
             num_files=num_files,
             summary={"stream_batch_id": gid},
         )

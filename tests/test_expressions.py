@@ -77,3 +77,46 @@ def test_cli_relative_filter_selects_partitions(spark, tmp_path, tokens_df, caps
     expected = sorted(dates[:4], reverse=True)  # today .. today-3, newest first
     assert out["partitions"] == expected
     assert "#{" not in out["resolved"]
+
+
+# ------------------------------------------------------- AST whitelist guard
+def test_safe_eval_blocks_dunder_traversal():
+    """The evaluator is an AST whitelist, not eval: attribute chains into
+    dunders (the classic ().__class__.__mro__ escape) and non-whitelisted
+    syntax raise instead of executing."""
+    import pytest
+
+    from circus_train_spark.functions.expressions import (
+        ExpressionError,
+        resolve_expressions,
+    )
+
+    hostile = [
+        "().__class__.__mro__",                     # Tuple node
+        "nowUtc().__class__",                       # dunder attribute
+        "[x for x in (1,)]",                        # comprehension
+        "__import__('os')",                         # unknown/underscore name
+        "getattr(nowUtc(), 'x')",                   # unknown name
+        "nowUtc()._dt",                             # private attribute
+        "(lambda: 1)()",                            # lambda
+        "'a' + 'b'",                                # binop not whitelisted
+        "nowUtc(**{'a': 1})",                       # **kwargs
+    ]
+    for expr in hostile:
+        with pytest.raises(ExpressionError):
+            resolve_expressions("#{" + expr + "}")
+
+
+def test_safe_eval_allows_documented_surface():
+    from datetime import datetime, timezone
+
+    from circus_train_spark.functions.expressions import resolve_expressions
+
+    pinned = datetime(2024, 1, 31, tzinfo=timezone.utc)
+    out = resolve_expressions(
+        "d >= '#{#nowUtc().minusDays(-(-14)).withTimeAtStartOfDay()"
+        '.toString("yyyy-MM-dd")}\'',
+        now=pinned,
+    )
+    assert out == "d >= '2024-01-17'"
+    assert resolve_expressions("#{zeroPadLeft(7, 3)}", now=pinned) == "007"

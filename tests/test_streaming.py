@@ -71,3 +71,26 @@ def test_stream_ingest_atomic_marker_survives_lineage_crash(spark, tmp_path, tok
     q2.awaitTermination(120)
     assert t.scan().count() == 1200
     assert t.scan().select("doc_id").distinct().count() == 1200
+
+
+def test_stream_ingest_survives_schema_evolution(spark, tmp_path, tokens_df):
+    """A running stream's source schema is fixed at start; an alter_schema
+    adding a column must not fail subsequent micro-batches — missing evolved
+    columns are null-filled with their declared type (ADVICE r2)."""
+    from pyspark.sql import types as T
+
+    src_dir = str(tmp_path / "incoming3")
+    tokens_df.limit(600).repartition(3).write.mode("overwrite").parquet(src_dir)
+    t = TokenTable.create(spark, str(tmp_path / "tbl3"))
+    # evolve BEFORE the batches land: the stream reads the old (core) schema
+    t.alter_schema(
+        T.StructType(
+            list(S.DATA_SCHEMA.fields) + [T.StructField("lang", T.StringType(), True)]
+        )
+    )
+    q = _start(spark, src_dir, t, str(tmp_path / "ckpt3"))
+    q.awaitTermination(120)
+    out = t.scan()
+    assert out.count() == 600
+    assert "lang" in out.columns
+    assert out.filter(out.lang.isNotNull()).count() == 0

@@ -22,6 +22,7 @@ def summarize(by=None) -> str:
     }
     lo, hi = sorted(mins)
     a, b = mins[lo], mins[hi]
+    ratio = hi / lo  # observed cpu ratio, NOT a hard-coded 4
     lines = [
         (f"| {'phase':14} | local[{lo}] s | local[{hi}] s | speedup | efficiency |"),
         "|---|---|---|---|---|",
@@ -29,11 +30,11 @@ def summarize(by=None) -> str:
     for p in PHASES:
         sp = a[p] / b[p]
         lines.append(
-            f"| {p:14} | {a[p]:.1f} | {b[p]:.1f} | {sp:.2f}x | {sp / 4:.2f} |"
+            f"| {p:14} | {a[p]:.1f} | {b[p]:.1f} | {sp:.2f}x | {sp / ratio:.2f} |"
         )
     ta, tb = sum(a[p] for p in PHASES), sum(b[p] for p in PHASES)
     lines.append(
-        f"| {'TOTAL':14} | {ta:.1f} | {tb:.1f} | {ta / tb:.2f}x | {ta / tb / 4:.2f} |"
+        f"| {'TOTAL':14} | {ta:.1f} | {tb:.1f} | {ta / tb:.2f}x | {ta / tb / ratio:.2f} |"
     )
     hi_runs = by[hi]
     best = max(r["scan_seq_per_sec"] for r in hi_runs)
