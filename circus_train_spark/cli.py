@@ -124,6 +124,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--source", required=True)
     sp.add_argument("--replica", required=True)
 
+    sp = sub.add_parser(
+        "compare",
+        help="render a source-vs-replica difference report "
+        "(the compare-tables.sh tool analogue)",
+    )
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--replica", required=True)
+    sp.add_argument("--output", default=None, help="write the report here too")
+
     sp = sub.add_parser("validate", help="metadata-vs-data parity audit")
     sp.add_argument("--table", required=True)
 
@@ -301,6 +310,18 @@ def main(argv: list[str] | None = None) -> int:
         for r in table_diff(src, rep).orderBy("partition").collect():
             _json(r.asDict())
         return 0
+
+    if a.cmd == "compare":
+        from circus_train_spark.operators.diff import render_comparison
+
+        src = TokenTable.load(spark, a.source)
+        rep = TokenTable.load(spark, a.replica)
+        report, n_diff = render_comparison(src, rep)
+        print(report)
+        if a.output:
+            with open(a.output, "w") as f:
+                f.write(report + "\n")
+        return 0 if n_diff == 0 else 1
 
     if a.cmd == "validate":
         from circus_train_spark.operators.validate import validate

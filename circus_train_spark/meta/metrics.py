@@ -107,3 +107,22 @@ def file_sender(path: str, prefix: str = "circus_train"):
                 f.write(line + "\n")
 
     return send
+
+
+def socket_sender(
+    host: str, port: int, prefix: str = "circus_train", timeout_s: float = 5.0
+):
+    """Plaintext-protocol Graphite sender over TCP — the production path
+    (reference emits raw ``<path> <value> <ts>\\n`` lines to a socket;
+    integration-asserted in
+    ``CircusTrainHdfsHdfsIntegrationTest.java:205-225``). One short-lived
+    connection per metrics batch; errors propagate to the caller
+    (MetricsListener already treats senders as best-effort)."""
+    import socket
+
+    def send(m: JobMetrics) -> None:
+        payload = "".join(line + "\n" for line in render_graphite(prefix, m))
+        with socket.create_connection((host, port), timeout=timeout_s) as sock:
+            sock.sendall(payload.encode("utf-8"))
+
+    return send

@@ -94,3 +94,37 @@ def changed_partitions(diff: DataFrame) -> list[str]:
 def deleted_partitions(diff: DataFrame) -> list[str]:
     rows = diff.filter(F.col("status") == STATUS_DELETED).collect()
     return sorted(r["partition"] for r in rows)
+
+
+def render_comparison(source: TokenTable, replica: TokenTable) -> tuple[str, int]:
+    """Human-readable difference report — the comparison tool's output
+    surface (``circus-train-comparison-tool/.../TableComparator.java:39-71``
+    renders each difference with its path/context; the empty-diff case says
+    so explicitly). Returns (report text, number of differences)."""
+    rows = table_diff(source, replica).orderBy("partition").collect()
+    diffs = [r for r in rows if r["status"] != STATUS_UNCHANGED]
+    lines = [
+        f"Comparing source '{source.root}' (snapshot {source.current_snapshot().snapshot_id})",
+        f"with replica  '{replica.root}' (snapshot {replica.current_snapshot().snapshot_id})",
+        "",
+    ]
+    if not diffs:
+        lines.append("Tables are identical: no differences found "
+                     f"({len(rows)} partitions compared).")
+        return "\n".join(lines), 0
+    for r in diffs:
+        if r["status"] == STATUS_NEW:
+            detail = f"only at source ({r['src_rows']} rows)"
+        elif r["status"] == STATUS_DELETED:
+            detail = f"only at replica ({r['rep_rows']} rows)"
+        else:
+            detail = (
+                f"content differs (source {r['src_rows']} rows, "
+                f"replica {r['rep_rows']} rows)"
+            )
+        lines.append(f"  partition={r['partition']}: {r['status'].upper()} — {detail}")
+    lines.append("")
+    lines.append(
+        f"{len(diffs)} difference(s) across {len(rows)} compared partition(s)."
+    )
+    return "\n".join(lines), len(diffs)

