@@ -236,37 +236,7 @@ def q_tml_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from circus_train_spark.operators.merge import merge_into
 
     table = _fresh_table(spark, sf_dir)
-    d = _read(spark, sf_dir, "documents")
-
-    upd_src = d.filter(d.doc_id % 10 == 3)
-    upd_ntok = (upd_src.n_chars % 97 + 8).cast("int")
-    upd = upd_src.select(
-        F.format_string("doc-%08d", upd_src.doc_id).alias("doc_id"),
-        _token_expr(upd_src.doc_id, upd_ntok, _B2).alias("tokens"),
-        upd_ntok.alias("n_tok"),
-        "source",
-        F.lit("upsert").alias("_op"),
-    )
-    del_src = d.filter(d.doc_id % 10 == 7)
-    dele = del_src.select(
-        F.format_string("doc-%08d", del_src.doc_id).alias("doc_id"),
-        F.lit(None).cast("array<int>").alias("tokens"),
-        F.lit(None).cast("int").alias("n_tok"),
-        F.lit(None).cast("string").alias("source"),
-        F.lit("delete").alias("_op"),
-    )
-    ins_src = d.filter(d.doc_id % 10 == 5).withColumn(
-        "new_id", d.doc_id + 10_000_000
-    )
-    ins_ntok = (ins_src.n_chars % 121 + 8).cast("int")
-    ins = ins_src.select(
-        F.format_string("doc-%08d", F.col("new_id")).alias("doc_id"),
-        _token_expr(F.col("new_id"), ins_ntok, _B).alias("tokens"),
-        ins_ntok.alias("n_tok"),
-        "source",
-        F.lit("upsert").alias("_op"),
-    )
-    merge_into(table, upd.unionByName(dele).unionByName(ins))
+    merge_into(table, _merge_changes(spark, sf_dir))
     return _scan_summary(table.scan())
 
 
@@ -294,6 +264,107 @@ WITH kept AS (
   FROM documents WHERE doc_id % 10 = 5
 )
 SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
+"""
+
+
+def _merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tml_merge change set (updates id%10==3, deletes id%10==7,
+    inserts id%10==5 shifted) — shared by the merge / CDC / rollback
+    queries."""
+    d = _read(spark, sf_dir, "documents")
+    upd_src = d.filter(d.doc_id % 10 == 3)
+    upd_ntok = (upd_src.n_chars % 97 + 8).cast("int")
+    upd = upd_src.select(
+        F.format_string("doc-%08d", upd_src.doc_id).alias("doc_id"),
+        _token_expr(upd_src.doc_id, upd_ntok, _B2).alias("tokens"),
+        upd_ntok.alias("n_tok"),
+        "source",
+        F.lit("upsert").alias("_op"),
+    )
+    del_src = d.filter(d.doc_id % 10 == 7)
+    dele = del_src.select(
+        F.format_string("doc-%08d", del_src.doc_id).alias("doc_id"),
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit("delete").alias("_op"),
+    )
+    ins_src = d.filter(d.doc_id % 10 == 5).withColumn("new_id", d.doc_id + 10_000_000)
+    ins_ntok = (ins_src.n_chars % 121 + 8).cast("int")
+    ins = ins_src.select(
+        F.format_string("doc-%08d", F.col("new_id")).alias("doc_id"),
+        _token_expr(F.col("new_id"), ins_ntok, _B).alias("tokens"),
+        ins_ntok.alias("n_tok"),
+        "source",
+        F.lit("upsert").alias("_op"),
+    )
+    return upd.unionByName(dele).unionByName(ins)
+
+
+def q_tml_rollback_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK: append -> destructive MERGE -> rollback to the pre-merge
+    snapshot (one metadata commit, zero data I/O) — the scan must equal the
+    identity derivation again. Reference recovery analogue: the rename-based
+    cutover of ``RenameTableOperation.java:42-70``."""
+    from circus_train_spark.operators.merge import merge_into
+    from circus_train_spark.operators.rollback import rollback
+
+    table = _fresh_table(spark, sf_dir)
+    base_sid = table.current_snapshot().snapshot_id
+    merge_into(table, _merge_changes(spark, sf_dir), verify=False)
+    snap = rollback(table, base_sid)
+    assert snap.operation == "rollback"
+    assert table.current_snapshot().summary["rolled_back_to"] == base_sid
+    return _scan_summary(table.scan())
+
+
+def q_tml_cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC read: the row-level change feed between the pre-merge and
+    post-merge snapshots. Manifest-pruned — only files in the snapshots'
+    symmetric difference are read; an update surfaces as delete+insert."""
+    from circus_train_spark.operators.changes import table_changes
+    from circus_train_spark.operators.merge import merge_into
+
+    table = _fresh_table(spark, sf_dir)
+    base_sid = table.current_snapshot().snapshot_id
+    merge_into(table, _merge_changes(spark, sf_dir), verify=False)
+    ch = table_changes(table, base_sid)
+    tok_sum = F.aggregate(
+        "tokens", F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
+    )
+    return ch.select(
+        F.col("_change").alias("change"),
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        tok_sum.alias("tok_sum"),
+    )
+
+
+_TML_CDC_SQL = """
+WITH deleted AS (
+  SELECT 'delete' AS change, printf('doc-%08d', doc_id) AS doc_id, source,
+         CAST((n_chars % 121) + 8 AS BIGINT) AS n_tok,
+         CAST(list_sum([ (doc_id*2654435761 + i*2246822519) % 50257
+                         for i in generate_series(1, (n_chars % 121) + 8) ])
+              AS BIGINT) AS tok_sum
+  FROM documents WHERE doc_id % 10 IN (3, 7)
+), upd_ins AS (
+  SELECT 'insert' AS change, printf('doc-%08d', doc_id) AS doc_id, source,
+         CAST((n_chars % 97) + 8 AS BIGINT) AS n_tok,
+         CAST(list_sum([ (doc_id*2654435761 + i*1779033703) % 50257
+                         for i in generate_series(1, (n_chars % 97) + 8) ])
+              AS BIGINT) AS tok_sum
+  FROM documents WHERE doc_id % 10 = 3
+), new_ins AS (
+  SELECT 'insert' AS change, printf('doc-%08d', doc_id + 10000000) AS doc_id, source,
+         CAST((n_chars % 121) + 8 AS BIGINT) AS n_tok,
+         CAST(list_sum([ ((doc_id + 10000000)*2654435761 + i*2246822519) % 50257
+                         for i in generate_series(1, (n_chars % 121) + 8) ])
+              AS BIGINT) AS tok_sum
+  FROM documents WHERE doc_id % 10 = 5
+)
+SELECT * FROM deleted UNION ALL SELECT * FROM upd_ins UNION ALL SELECT * FROM new_ins
 """
 
 
@@ -626,6 +697,95 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _read(spark, sf_dir, "documents")
     return d.select("doc_id", F.md5(normalized_text(F.col("text"))).alias("fp"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: deterministic synthetic PII (email / SSN / phone
+    / IPv4 parameterized by doc_id) is appended to every document, then
+    scrubbed with the chained regexp pass — output is the per-category
+    audit counts plus an md5 of the scrubbed text, all JVM expressions."""
+    from circus_train_spark.pipeline.text import pii_counts, scrub_pii
+
+    d = _read(spark, sf_dir, "documents")
+    pid = F.col("doc_id")
+    pii = F.concat(
+        F.lit(" contact user"),
+        pid.cast("string"),
+        F.lit("@mail.com ssn "),
+        F.lpad((pid % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((pid % 100).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((pid % 10000).cast("string"), 4, "0"),
+        F.lit(" tel 555-"),
+        F.lpad((pid % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((pid % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (pid % 256).cast("string"),
+        F.lit("."),
+        (pid % 250).cast("string"),
+    )
+    t = F.concat(F.col("text"), pii)
+    counts = pii_counts(t)
+    return d.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_email"),
+        counts["ssn"].cast("long").alias("n_ssn"),
+        counts["phone"].cast("long").alias("n_phone"),
+        counts["ipv4"].cast("long").alias("n_ip"),
+        F.md5(scrub_pii(t)).alias("scrub_md5"),
+    )
+
+
+_PII_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.com ssn '
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' tel 555-'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST(doc_id % 250 AS VARCHAR) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(t, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+            '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS scrub_md5
+FROM aug
+"""
+
+
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data-mixture sampling: each source keeps a deterministic
+    per-source rate via content-keyed arithmetic hashing — reproducible
+    across re-layouts, zero shuffle, scan-local predicate."""
+    from circus_train_spark.pipeline.sampling import sample_mixture
+
+    d = _read(spark, sf_dir, "documents")
+    sources = [r["source"] for r in d.select("source").distinct().collect()]
+    rates = {0: 0.05, 1: 0.2, 2: 0.5, 3: 0.8, 4: 1.0}
+    rate_by_source = {s: rates[int(s[3:]) % 5] for s in sources}
+    return sample_mixture(d, rate_by_source).select("doc_id", "source")
+
+
+_SAMPLE_MIXTURE_SQL = """
+SELECT doc_id, source FROM documents
+WHERE (doc_id * 2654435761) % 10000 <
+      CASE CAST(substr(source, 4) AS INT) % 5
+        WHEN 0 THEN 500 WHEN 1 THEN 2000 WHEN 2 THEN 5000
+        WHEN 3 THEN 8000 ELSE 10000 END
+"""
 
 
 # ------------------------------------------------------------- similarity
@@ -1131,6 +1291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tml_time_travel_scan": q_tml_time_travel_scan,
         "tml_stream_ingest_scan": q_tml_stream_ingest_scan,
         "tml_housekeeping_scan": q_tml_housekeeping_scan,
+        "tml_rollback_scan": q_tml_rollback_scan,
+        "tml_cdc_scan": q_tml_cdc_scan,
         "dynamic_filter_scan": q_dynamic_filter_scan,
         # diff + replication (the reference's core pipeline)
         "table_diff": q_table_diff,
@@ -1157,6 +1319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "pii_scrub": q_pii_scrub,
+        "sample_mixture": q_sample_mixture,
         # similarity
         "sim_topk": q_sim_topk,
         "sim_pairs_block": q_sim_pairs_block,
@@ -1183,7 +1347,11 @@ def oracle_sql() -> dict[str, str]:
         "tml_time_travel_scan": _TML_TIME_TRAVEL_SQL,
         "tml_stream_ingest_scan": tok_identity,
         "tml_housekeeping_scan": tok_identity,
+        "tml_rollback_scan": tok_identity,
+        "tml_cdc_scan": _TML_CDC_SQL,
         "dynamic_filter_scan": _DYNAMIC_FILTER_SQL,
+        "pii_scrub": _PII_SQL,
+        "sample_mixture": _SAMPLE_MIXTURE_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "table_diff": _TABLE_DIFF_SQL,
         "table_replicate_scan": tok_identity,

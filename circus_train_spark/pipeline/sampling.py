@@ -1,0 +1,61 @@
+"""Deterministic sampling / data-mixture construction.
+
+Training corpora are built as *weighted mixtures* over sources (e.g. wiki
+x2.5, web x0.3). Spark's ``df.sample`` is seed-dependent per partitioning
+and not reproducible across re-layouts, so these operators sample by a
+**content-keyed arithmetic hash**: a row is kept iff
+
+    (key * 2654435761) % 10_000  <  rate * 10_000
+
+— pure column algebra (whole-stage-codegen, zero shuffle, no RNG state),
+stable under compaction/clustering/repartitioning, and cheap to reproduce
+in any engine (the DuckDB oracle runs the identical arithmetic). Knuth's
+multiplicative hash decorrelates the keep-set from key locality; the salt
+shifts the hash so independent samples of the same table don't nest.
+
+Scale: a pushed-down filter over a numeric column — at 100 TB this is a
+scan-local predicate evaluated inside the parquet reader's codegen stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_KNUTH = 2654435761
+_BUCKETS = 10_000
+
+
+def sample_bucket(key: Column, salt: int = 0) -> Column:
+    """Deterministic bucket in [0, 10000) from a numeric key column."""
+    return F.pmod((key + F.lit(salt)) * F.lit(_KNUTH), F.lit(_BUCKETS))
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id", salt: int = 0
+) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen by content key (reproducible)."""
+    keep = int(round(rate * _BUCKETS))
+    return df.filter(sample_bucket(F.col(key_col), salt) < keep)
+
+
+def sample_mixture(
+    df: DataFrame,
+    rate_by_source: dict[str, float],
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    default_rate: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-source mixture sampling: each source keeps its own rate.
+
+    Rates <= 1 downsample; unlisted sources keep ``default_rate``. The
+    threshold is a small CASE expression (sources are low-cardinality), so
+    the whole mixture is one scan-local predicate.
+    """
+    thresh: Column = F.lit(int(round(default_rate * _BUCKETS)))
+    for s, r in sorted(rate_by_source.items()):
+        thresh = F.when(
+            F.col(source_col) == s, F.lit(int(round(r * _BUCKETS)))
+        ).otherwise(thresh)
+    return df.filter(sample_bucket(F.col(key_col), salt) < thresh)

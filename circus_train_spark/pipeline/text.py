@@ -102,6 +102,37 @@ def fingerprint(text: Column, width: int = 64) -> Column:
     return F.xxhash64(norm)
 
 
+# ------------------------------------------------------------------ PII scrub
+# Patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB oracle): no backrefs, no lookaround. Order matters: SSN before
+# phone (both are digit-dash shapes).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails / SSNs / phone numbers / IPv4s with typed placeholders.
+
+    Pure chained ``regexp_replace`` — JVM-side, whole-stage-codegen, no
+    Python in the hot path. A standard pre-training hygiene pass (the
+    reference has no row-level transforms; this is part of the engine's
+    LLM-pipeline surface).
+    """
+    out = text
+    for _name, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category match counts (audit metric for the scrub pass)."""
+    return {name: F.regexp_count(text, F.lit(pat)) for name, pat, _ in PII_PATTERNS}
+
+
 def analyze(documents: DataFrame) -> DataFrame:
     """One-pass text-analysis projection over the documents table."""
     t = F.col("text")

@@ -220,3 +220,56 @@ def test_multimodal_frame_plan_and_library_decoder(spark):
     # extract_features accepts the library decoder end-to-end
     got = multimodal.extract_features(media, decoder=dec).collect()
     assert len(got) == 9 and all(len(r["features"]) == 16 for r in got)
+
+
+# ------------------------------------------------------- pii / sampling
+def test_scrub_pii_redacts_all_categories(spark):
+    from circus_train_spark.pipeline.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [("a", "mail me at jo.doe+x@corp.example.org or 555-123-4567, "
+               "ssn 123-45-6789, host 192.168.0.1 ok")],
+        "id string, t string",
+    )
+    row = df.select(
+        scrub_pii(F.col("t")).alias("s"),
+        *[c.alias(k) for k, c in pii_counts(F.col("t")).items()],
+    ).collect()[0]
+    assert row["email"] == 1 and row["ssn"] == 1
+    assert row["phone"] == 1 and row["ipv4"] == 1
+    s = row["s"]
+    assert "<EMAIL>" in s and "<SSN>" in s and "<PHONE>" in s and "<IP>" in s
+    for leak in ("jo.doe", "555-123-4567", "123-45-6789", "192.168.0.1"):
+        assert leak not in s
+
+
+def test_deterministic_sample_is_stable_and_proportional(spark):
+    from circus_train_spark.pipeline.sampling import (
+        deterministic_sample,
+        sample_mixture,
+    )
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    s1 = deterministic_sample(df, 0.3).select("doc_id").collect()
+    s2 = deterministic_sample(df, 0.3).select("doc_id").collect()
+    assert {r["doc_id"] for r in s1} == {r["doc_id"] for r in s2}  # reproducible
+    assert abs(len(s1) / 20000 - 0.3) < 0.02
+    # nesting: a higher-rate sample contains the lower-rate one (same salt)
+    s5 = {r["doc_id"] for r in deterministic_sample(df, 0.5).select("doc_id").collect()}
+    assert {r["doc_id"] for r in s1} <= s5
+    # different salt decorrelates
+    s_salt = {
+        r["doc_id"]
+        for r in deterministic_sample(df, 0.3, salt=7).select("doc_id").collect()
+    }
+    assert s_salt != {r["doc_id"] for r in s1}
+
+    mix = sample_mixture(df, {"a": 0.1, "b": 0.9})
+    got = {r["source"]: r["n"] for r in mix.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(got["a"] / 10000 - 0.1) < 0.02
+    assert abs(got["b"] / 10000 - 0.9) < 0.02
+    # unlisted sources default to rate 0
+    assert sample_mixture(df, {"a": 0.5}).filter("source = 'b'").count() == 0
