@@ -677,9 +677,46 @@ class TokenTable:
             "partitions": per_part,
         }
 
-    def table_digest(self, snapshot_id: int | None = None) -> dict:
-        from circus_train_spark.functions.digest import table_digest
+    def table_digest(self, snapshot_id: int | None = None, fast: bool = True) -> dict:
+        """Order-insensitive content digest (n_rows, bit_xor, decimal sum of
+        per-row xxhash64).
 
+        ``fast`` reads ONLY the persisted hidden row-hash column — files
+        written by this engine carry it, so the digest scan is ~8 bytes/row
+        (no token decode; at 100 TB the verify pass reads ~0.1% of table
+        bytes). Any file lacking the column (foreign parquet) is detected in
+        the same single job (hash-count < row-count) and the digest falls
+        back to a full recompute; both paths produce identical values since
+        the persisted column IS row_hash()."""
+        from pyspark.sql import types as T
+
+        from circus_train_spark.functions.digest import digest_agg, table_digest
+
+        if fast:
+            paths = self.file_paths(snapshot_id)
+            if paths:
+                schema = T.StructType(
+                    [T.StructField(S.ROW_HASH_COL, T.LongType(), True)]
+                )
+                row = (
+                    self.spark.read.schema(schema)
+                    .parquet(*paths)
+                    .agg(
+                        F.count(S.ROW_HASH_COL).alias("n_hashed"),
+                        *digest_agg(S.ROW_HASH_COL),
+                    )
+                    .collect()[0]
+                )
+                if row["n_hashed"] == row["n_rows"]:
+                    return {
+                        "n_rows": row["n_rows"],
+                        "xor_digest": row["xor_digest"],
+                        "sum_digest": (
+                            int(row["sum_digest"])
+                            if row["sum_digest"] is not None
+                            else None
+                        ),
+                    }
         return table_digest(self.scan(snapshot_id))
 
     def drop(self) -> None:

@@ -219,3 +219,21 @@ def test_table_stats_rollup(spark, tmp_path, tokens_df):
         for r in t.scan().groupBy("source").count().withColumnRenamed("count", "n").collect()
     }
     assert {s: p["rows"] for s, p in st["partitions"].items()} == by_src
+
+
+def test_fast_digest_equals_full_and_falls_back(spark, tmp_path, tokens_df):
+    """fast=True digests the persisted hidden hash column (narrow read) and
+    must equal the full recompute; foreign parquet without the column is
+    detected in the same job and falls back transparently."""
+    t = TokenTable.create(spark, str(tmp_path / "fd"))
+    t.append(tokens_df.limit(300), num_files=2)
+    assert t.table_digest(fast=True) == t.table_digest(fast=False)
+
+    # foreign file: data columns only, no _h → hash-count < row-count
+    foreign_dir = str(tmp_path / "fd" / "data" / "foreign-evt")
+    extra = tokens_df.limit(350).subtract(tokens_df.limit(300))
+    extra.coalesce(1).write.parquet(foreign_dir)
+    entries = t.collect_entries_for_dir(foreign_dir)
+    t.commit(operation="append", added=entries)
+    assert t.scan().count() == 350
+    assert t.table_digest(fast=True) == t.table_digest(fast=False)
