@@ -788,6 +788,175 @@ WHERE (doc_id * 2654435761) % 10000 <
 """
 
 
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 8-word
+    shingle with the 'benchmark' subset (doc_id % 97 == 0 stands in for an
+    eval set). The training corpus additionally contains re-id'd copies of
+    the eval docs (doc_id + 1,000,000) — planted contamination the check
+    MUST flag, so the result is non-trivially non-empty at every scale
+    factor. Standard pre-training hygiene — the benchmark shingle set is
+    small and broadcast; the training side streams through a hash join on
+    the shingle string. Output: contaminated doc + distinct hit count."""
+    k = 8
+    d = _read(spark, sf_dir, "documents")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 97 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    words = F.split(norm, " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        )
+    )
+    sh = corpus.filter(F.size(words) >= k).select(
+        "doc_id", F.explode(shingles).alias("s")
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    return (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_hits"))
+    )
+
+
+_CONTAMINATION_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 97 = 0
+), w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM corpus
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS s
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS i)
+  WHERE len(ws) >= 8
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+)
+SELECT sh.doc_id, CAST(count(DISTINCT sh.s) AS BIGINT) AS n_hits
+FROM sh JOIN bench USING (s)
+WHERE sh.doc_id % 97 <> 0
+GROUP BY sh.doc_id
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition counters (top-word and
+    duplicate-2-gram coverage) — the standard repetitive-spam filter
+    signals, exact-integer so the oracle reproduces them bit-for-bit."""
+    from circus_train_spark.pipeline.text import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"))
+
+
+_REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), w AS (
+  SELECT doc_id, string_split(t, ' ') AS ws FROM base
+), wr AS (
+  SELECT doc_id, unnest(ws) AS w FROM w
+), wc AS (
+  SELECT doc_id, w, count(*) AS cnt FROM wr GROUP BY doc_id, w
+), tops AS (
+  SELECT doc_id, w AS top_word, cnt AS top_word_n
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY cnt DESC, w DESC) AS rn FROM wc)
+  WHERE rn = 1
+), agg AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+         count(*) AS n_distinct_words
+  FROM wc GROUP BY doc_id
+), g AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(ws) < 2 THEN 0 ELSE len(ws) - 1 END AS BIGINT)
+           AS n_2grams,
+         CAST(CASE WHEN len(ws) < 2 THEN 0
+              ELSE len(list_distinct([ws[i] || ' ' || ws[i+1]
+                        for i in generate_series(1, len(ws) - 1)]))
+              END AS BIGINT) AS n_distinct_2grams
+  FROM w
+)
+SELECT agg.doc_id, n_words, n_distinct_words, top_word, top_word_n,
+       n_2grams, n_distinct_2grams
+FROM agg JOIN tops USING (doc_id) JOIN g USING (doc_id)
+"""
+
+
+def q_dedup_cc_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a near-dup edge graph (iterative min-label
+    propagation as DataFrame joins — see ``dedup.connected_components``).
+
+    Edge generation itself is verified by the jaccard/minhash/simhash
+    queries; HERE the subject is component *closure* (A~B, B~C must merge
+    A,B,C without an A~C edge), so the graph is a deterministic arithmetic
+    one with multi-hop chains plus long-range cross-links that merge
+    chains — exactly the shapes transitive dedup must close over."""
+    from circus_train_spark.pipeline.dedup import connected_components
+
+    ids = _read(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    chain = ids.filter(i % 7 < 3).select(
+        i.alias("id_a"), (i + 1).alias("id_b")
+    )
+    cross = ids.filter(i % 29 == 0).select(
+        i.alias("id_a"), (i + 13).alias("id_b")
+    )
+    member = ids.select(i.alias("id_b"))
+    edges = chain.unionByName(cross).join(member, "id_b").select("id_a", "id_b")
+    cc = connected_components(edges)
+    return cc.select(F.col("id").alias("doc_id"), "component")
+
+
+_DEDUP_CC_SQL = """
+WITH RECURSIVE ids AS (
+  SELECT doc_id FROM documents
+), e AS (
+  SELECT a.doc_id AS a, a.doc_id + 1 AS b FROM ids a
+  WHERE a.doc_id % 7 < 3
+    AND EXISTS (SELECT 1 FROM ids m WHERE m.doc_id = a.doc_id + 1)
+  UNION ALL
+  SELECT a.doc_id, a.doc_id + 13 FROM ids a
+  WHERE a.doc_id % 29 = 0
+    AND EXISTS (SELECT 1 FROM ids m WHERE m.doc_id = a.doc_id + 13)
+), sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+), reach(id, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+)
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY id
+"""
+
+
+def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming windowed aggregation: drain the events
+    directory as a file stream (availableNow) through a watermarked
+    event-time window aggregate; the final complete-mode table must equal
+    the batch hourly rollup — streaming-vs-batch parity."""
+    from circus_train_spark.streaming.windowed import windowed_counts_stream
+
+    res = windowed_counts_stream(
+        spark, _t(sf_dir, "events"), value_expr=_cents(F.col("value"))
+    )
+    return res.select(
+        "event_type",
+        F.date_format("window_start", "yyyy-MM-dd HH").alias("hour"),
+        "n",
+        F.col("value_sum").alias("value_c"),
+    )
+
+
 # ------------------------------------------------------------- similarity
 
 
@@ -1127,21 +1296,32 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.col("t").substr(i, F.lit(3)),
         )
     )
-    g = d.select("doc_id", grams.alias("g"))
+    g = d.select(
+        "doc_id", grams.alias("g"), F.floor(F.col("doc_id") / 10).alias("blk")
+    )
     a, b = g.alias("a"), g.alias("b")
     inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
     union = F.size(F.array_union(F.col("a.g"), F.col("b.g")))
+    in_window = (F.col("b.doc_id") > F.col("a.doc_id")) & (
+        F.col("b.doc_id") <= F.col("a.doc_id") + 10
+    )
+    # Banded self-join: a bare id-range theta join would execute as a
+    # broadcast-nested-loop; bucketing ids into width-10 blocks turns it
+    # into two hash equi-joins (same block + next block) with the range as
+    # a residual — survives any table size.
+    proj = [
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    ]
+    same_blk = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & in_window
+    ).select(*proj)
+    next_blk = a.join(
+        b, (F.col("a.blk") + 1 == F.col("b.blk")) & in_window
+    ).select(*proj)
     return (
-        a.join(
-            b,
-            (F.col("b.doc_id") > F.col("a.doc_id"))
-            & (F.col("b.doc_id") <= F.col("a.doc_id") + 10),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
-        )
+        same_blk.unionByName(next_blk)
         .orderBy(F.desc("jaccard"), "id_a", "id_b")
         .limit(50)
     )
@@ -1312,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        "events_stream_hourly": q_events_stream_hourly,
         # text pipeline
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_exact_keep": q_dedup_exact_keep,
@@ -1321,6 +1502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "pii_scrub": q_pii_scrub,
         "sample_mixture": q_sample_mixture,
+        "contamination_check": q_contamination_check,
+        "repetition_stats": q_repetition_stats,
+        "dedup_cc_groups": q_dedup_cc_groups,
         # similarity
         "sim_topk": q_sim_topk,
         "sim_pairs_block": q_sim_pairs_block,
@@ -1352,6 +1536,15 @@ def oracle_sql() -> dict[str, str]:
         "dynamic_filter_scan": _DYNAMIC_FILTER_SQL,
         "pii_scrub": _PII_SQL,
         "sample_mixture": _SAMPLE_MIXTURE_SQL,
+        "contamination_check": _CONTAMINATION_SQL,
+        "repetition_stats": _REPETITION_SQL,
+        "dedup_cc_groups": _DEDUP_CC_SQL,
+        "events_stream_hourly": """
+            SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+            FROM events GROUP BY event_type, hour
+        """,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "table_diff": _TABLE_DIFF_SQL,
         "table_replicate_scan": tok_identity,

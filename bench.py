@@ -46,6 +46,8 @@ QUERY_NAMES = [
     "lang_id",
     "sim_topk",
     "minhash_lsh_dedup",
+    "repetition_stats",
+    "contamination_check",
 ]
 
 

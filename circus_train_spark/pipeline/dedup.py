@@ -286,3 +286,67 @@ def simhash_dup_pairs(with_fp: DataFrame, id_col: str = "doc_id", bands: int = 4
         .filter(F.col("hamming") < bands)
         .distinct()
     )
+
+
+# ------------------------------------------------- connected components
+#
+# Near-dup pairs from any of the strategies above are EDGES; dedup keeps
+# one representative per connected component, not per pair (A~B, B~C must
+# collapse A,B,C together even when A~C was never emitted). Reference
+# analogue: none (circus-train diffs partitions, it does not dedup rows) —
+# this is part of the engine's LLM-pipeline surface.
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list → (id, component).
+
+    Iterative min-label propagation expressed as DataFrame joins: each
+    round every vertex adopts the minimum label among itself and its
+    neighbours; fixpoint == components labelled by their minimum vertex id.
+
+    Scale notes (100 TB): each round is ONE hash join (edges ⋈ labels on
+    the 8-byte vertex id) + ONE groupBy-min — both shuffle fixed-width
+    rows, never payload. Rounds needed = graph diameter; near-dup clusters
+    are shallow (stars/cliques), so 3-5 rounds in practice. ``localCheckpoint``
+    cuts the lineage so the plan does not grow per round. For adversarial
+    long-chain graphs, swap in large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) which
+    converges in O(log^2 n) rounds with the same per-round shape.
+    The convergence probe is a LIMIT-1 existence check (AQE stops the scan
+    at the first changed row), not a full count.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.filter(F.col("a") != F.col("b")).persist()
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = sym.join(
+            labels.withColumnRenamed("id", "a"), "a"
+        ).select(F.col("b").alias("id"), "component")
+        new = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

@@ -147,3 +147,72 @@ def analyze(documents: DataFrame) -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+# ------------------------------------------------------------- repetition
+#
+# Gopher-style (Rae et al. 2021, "Scaling Language Models", table A1)
+# intra-document repetition signals: heavily repetitive documents (SEO
+# spam, boilerplate, degenerate generations) are filtered by the fraction
+# of content covered by their most frequent word / duplicate n-grams.
+# All counters are exact integers so an independent SQL engine reproduces
+# them bit-for-bit (no float-rounding drift in the verification gate).
+
+
+def _norm_words(text: Column) -> Column:
+    return F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+
+
+def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition counters.
+
+    Output: ``doc_id, n_words, n_distinct_words, top_word, top_word_n,
+    n_2grams, n_distinct_2grams`` — ratios (top-word fraction, duplicate
+    2-gram fraction) are left to the caller as exact ``a/b`` divisions.
+
+    Shape at scale: the word branch explodes to (doc_id, word) rows and
+    reduces twice — both shuffles carry 8-byte ids + short tokens, with
+    map-side partial aggregation on (doc_id, word). The 2-gram branch is
+    scan-local array arithmetic (no shuffle). The final join is
+    doc_id-keyed on two already-doc_id-partitioned sides. Ties for the top
+    word break deterministically: max (count, word) pair — highest count,
+    then lexicographically largest word.
+    """
+    words = _norm_words(F.col(text_col))
+    base = documents.filter(F.length(F.trim(F.col(text_col))) > 0)
+
+    word_rows = base.select("doc_id", F.explode(words).alias("w"))
+    word_stats = (
+        word_rows.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max(F.struct(F.col("cnt"), F.col("w"))).alias("_top"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct_words",
+            F.col("_top.w").alias("top_word"),
+            F.col("_top.cnt").alias("top_word_n"),
+        )
+    )
+
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )
+    gram_stats = base.select(
+        "doc_id",
+        F.when(F.size(words) < 2, F.lit(0))
+        .otherwise(F.size(words) - 1)
+        .cast("long")
+        .alias("n_2grams"),
+        F.when(F.size(words) < 2, F.lit(0))
+        .otherwise(F.size(F.array_distinct(grams)))
+        .cast("long")
+        .alias("n_distinct_2grams"),
+    )
+    return word_stats.join(gram_stats, "doc_id")

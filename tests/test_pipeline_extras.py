@@ -1,0 +1,128 @@
+"""Tests for round-3 pipeline additions: connected components, repetition
+stats, and the watermarked streaming windowed aggregation."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from circus_train_spark.pipeline.dedup import connected_components
+from circus_train_spark.pipeline.text import repetition_stats
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+class TestConnectedComponents:
+    def test_chain_closes_transitively(self, spark):
+        # 1-2, 2-3, 3-4: one component labelled by min id, no 1-4 edge.
+        cc = connected_components(_edges(spark, [(1, 2), (2, 3), (3, 4)]))
+        got = {r["id"]: r["component"] for r in cc.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    def test_disjoint_components_stay_apart(self, spark):
+        cc = connected_components(
+            _edges(spark, [(1, 2), (10, 11), (11, 12), (20, 20)])
+        )
+        got = {r["id"]: r["component"] for r in cc.collect()}
+        # Self-loop (20,20) is dropped; 20 never appears as a vertex.
+        assert got == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10}
+
+    def test_star_merge_via_hub(self, spark):
+        # Two chains merged by a long-range cross edge.
+        cc = connected_components(
+            _edges(spark, [(1, 2), (5, 6), (2, 5), (100, 101)])
+        )
+        got = {r["id"]: r["component"] for r in cc.collect()}
+        assert got[6] == 1 and got[5] == 1 and got[100] == 100
+
+    def test_direction_irrelevant(self, spark):
+        a = connected_components(_edges(spark, [(3, 1), (2, 3)]))
+        got = {r["id"]: r["component"] for r in a.collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+
+
+class TestRepetitionStats:
+    def test_counters_exact(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat the cat the dog"),
+                (2, "all distinct words here"),
+                (3, "x"),
+                (4, "  "),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+        # doc 4 is whitespace-only -> filtered out.
+        assert set(got) == {1, 2, 3}
+        r1 = got[1]
+        assert r1["n_words"] == 6 and r1["n_distinct_words"] == 3
+        assert r1["top_word"] == "the" and r1["top_word_n"] == 3
+        # 2-grams: "the cat","cat the","the cat","cat the","the dog"
+        assert r1["n_2grams"] == 5 and r1["n_distinct_2grams"] == 3
+        r2 = got[2]
+        assert r2["n_words"] == 4 and r2["n_distinct_words"] == 4
+        assert r2["n_2grams"] == 3 and r2["n_distinct_2grams"] == 3
+        r3 = got[3]
+        assert r3["n_words"] == 1 and r3["n_2grams"] == 0
+        assert r3["n_distinct_2grams"] == 0
+
+    def test_top_word_tie_breaks_deterministically(self, spark):
+        df = spark.createDataFrame(
+            [(1, "b a b a")], "doc_id long, text string"
+        )
+        row = repetition_stats(df).collect()[0]
+        # counts tie at 2: max(struct(cnt, w)) picks the larger word "b".
+        assert row["top_word"] == "b" and row["top_word_n"] == 2
+
+
+class TestStreamingWindowed:
+    def test_stream_equals_batch(self, spark):
+        from circus_train_spark.streaming.windowed import windowed_counts_stream
+
+        src = os.path.join(tempfile.mkdtemp(prefix="cts-stream-test-"), "ev")
+        df = spark.createDataFrame(
+            [
+                (1, "click", "2024-01-01 10:05:00", 1.5),
+                (2, "click", "2024-01-01 10:55:00", 2.5),
+                (3, "view", "2024-01-01 10:10:00", 0.5),
+                (4, "click", "2024-01-01 11:01:00", 4.0),
+                # late event for the 10:00 window, arriving in a later file
+                (5, "view", "2024-01-01 10:30:00", 1.0),
+            ],
+            "event_id long, event_type string, ts_s string, value double",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        df.write.mode("overwrite").parquet(src)
+
+        res = windowed_counts_stream(
+            spark,
+            src,
+            value_expr=F.round(F.col("value") * 100).cast("long"),
+            max_files_per_trigger=1,
+        )
+        got = {
+            (r["event_type"], str(r["window_start"])): (r["n"], r["value_sum"])
+            for r in res.collect()
+        }
+        batch = {
+            (r["event_type"], str(r["window_start"])): (r["n"], r["value_sum"])
+            for r in spark.read.parquet(src)
+            .groupBy("event_type", F.window("ts", "1 hour").alias("_w"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "value_sum"
+                ),
+            )
+            .select(
+                "event_type", F.col("_w.start").alias("window_start"), "n", "value_sum"
+            )
+            .collect()
+        }
+        assert got == batch
+        assert got[("click", "2024-01-01 10:00:00")] == (2, 400)

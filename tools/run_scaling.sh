@@ -19,7 +19,7 @@ export SPARK_GRAFT_LOCAL_DIR="${SPARK_GRAFT_LOCAL_DIR:-/dev/shm/cts-shuffle}"
 # levels INTERLEAVED (2,8,2,8,...) so drifting background load samples both
 # legs alike; min-of-N per phase is the noise-resistant estimator.
 for I in $(seq 1 "$ITERS"); do
-  for CPUS in ${LEVELS:-"2 8"}; do
+  for CPUS in ${LEVELS:-2 8}; do  # no inner quotes: must word-split
     echo "=== cpus=$CPUS iter=$I sf_dir=$SF_DIR $(date -u +%H:%M:%S) loadavg=$(cut -d' ' -f1-3 /proc/loadavg) ===" >&2
     SPARK_GRAFT_SF_DIR="$SF_DIR" python bench.py --cpus "$CPUS" --skip-queries 2>/dev/null \
       | tail -1 >> "$OUT"

@@ -17,8 +17,11 @@ def load(path: str = "BENCH_SCALING.jsonl"):
 
 def summarize(by=None) -> str:
     by = by or load()
+    phases = list(PHASES)
+    if all(all("scan_fast_s" in r for r in runs) for runs in by.values()):
+        phases.append("scan_fast_s")
     mins = {
-        c: {p: min(r[p] for r in runs) for p in PHASES} for c, runs in by.items()
+        c: {p: min(r[p] for r in runs) for p in phases} for c, runs in by.items()
     }
     lo, hi = sorted(mins)
     a, b = mins[lo], mins[hi]
@@ -27,11 +30,14 @@ def summarize(by=None) -> str:
         (f"| {'phase':14} | local[{lo}] s | local[{hi}] s | speedup | efficiency |"),
         "|---|---|---|---|---|",
     ]
-    for p in PHASES:
+    for p in phases:
         sp = a[p] / b[p]
         lines.append(
             f"| {p:14} | {a[p]:.1f} | {b[p]:.1f} | {sp:.2f}x | {sp / ratio:.2f} |"
         )
+    # TOTAL stays over the 5 canonical phases (scan_fast_s is an alternate
+    # scan implementation, not an additional suite phase — counting both
+    # would double-weight the scan).
     ta, tb = sum(a[p] for p in PHASES), sum(b[p] for p in PHASES)
     lines.append(
         f"| {'TOTAL':14} | {ta:.1f} | {tb:.1f} | {ta / tb:.2f}x | {ta / tb / ratio:.2f} |"
