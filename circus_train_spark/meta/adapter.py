@@ -47,7 +47,16 @@ class CatalogAdapter(Protocol):
         operation: str,
         manifests: list[str],
         summary: dict,
+        branch: str = "main",
+        stage_only: bool = False,
+        snapshot_id: int | None = None,
     ) -> Snapshot: ...
+
+    def refs(self) -> dict: ...
+
+    def branch_head(self, branch: str = "main") -> int | None: ...
+
+    def next_id(self) -> int: ...
 
 
 class InMemoryCatalog:
@@ -58,6 +67,7 @@ class InMemoryCatalog:
     def __init__(self):
         self._snaps: dict[int, Snapshot] = {}
         self._head: int | None = None
+        self._refs: dict = {"branches": {}, "tags": {}}
         self._lock = threading.Lock()
 
     def current_id(self) -> int | None:
@@ -90,6 +100,48 @@ class InMemoryCatalog:
     def delete_snapshot(self, snapshot_id: int) -> None:
         self._snaps.pop(snapshot_id, None)
 
+    # -- refs (mirror SnapshotLog semantics) --------------------------------
+    def refs(self) -> dict:
+        return {k: dict(v) for k, v in self._refs.items()}
+
+    def branch_head(self, branch: str = "main") -> int | None:
+        if branch == "main":
+            return self._head
+        b = self._refs["branches"].get(branch)
+        return None if b is None else int(b["snapshot_id"])
+
+    def next_id(self) -> int:
+        hi = max(self._snaps) if self._snaps else 0
+        if self._head is not None and self._head > hi:
+            hi = self._head
+        return hi + 1
+
+    def set_ref(self, kind: str, name: str, snapshot_id: int) -> None:
+        with self._lock:
+            prev = self._refs[kind].get(name)
+            if kind == "tags" and prev and prev["snapshot_id"] != snapshot_id:
+                raise ValueError(f"tag {name!r} is immutable")
+            self._refs[kind][name] = {
+                "snapshot_id": int(snapshot_id),
+                "created_ms": int(time.time() * 1000),
+            }
+
+    def drop_ref(self, kind: str, name: str) -> None:
+        with self._lock:
+            self._refs[kind].pop(name, None)
+
+    def fast_forward(self, to_snapshot_id: int, expected_head: int | None) -> None:
+        with self._lock:
+            if self._head != expected_head:
+                raise CommitConflictError(
+                    f"expected head {expected_head}, found {self._head}"
+                )
+            if self.get(to_snapshot_id).parent_id != self._head:
+                raise CommitConflictError(
+                    f"snapshot {to_snapshot_id} is not a child of head {self._head}"
+                )
+            self._head = to_snapshot_id
+
     def commit(
         self,
         *,
@@ -98,16 +150,28 @@ class InMemoryCatalog:
         operation: str,
         manifests: list[str],
         summary: dict,
+        branch: str = "main",
+        stage_only: bool = False,
+        snapshot_id: int | None = None,
     ) -> Snapshot:
         with self._lock:
-            if self._head != expected_parent_id:
+            cur = self._head if branch == "main" else (
+                None
+                if self._refs["branches"].get(branch) is None
+                else int(self._refs["branches"][branch]["snapshot_id"])
+            )
+            if cur != expected_parent_id:
                 raise CommitConflictError(
-                    f"expected head {expected_parent_id}, found {self._head}"
+                    f"expected {branch} head {expected_parent_id}, found {cur}"
                 )
-            new_id = 1 if self._head is None else self._head + 1
+            new_id = self.next_id() if snapshot_id is None else snapshot_id
+            if new_id in self._snaps:
+                raise CommitConflictError(
+                    f"snapshot id {new_id} was taken by a concurrent commit"
+                )
             snap = Snapshot(
                 snapshot_id=new_id,
-                parent_id=self._head,
+                parent_id=cur,
                 event_id=event_id,
                 timestamp_ms=int(time.time() * 1000),
                 operation=operation,
@@ -115,5 +179,12 @@ class InMemoryCatalog:
                 summary=summary,
             )
             self._snaps[new_id] = snap
-            self._head = new_id
+            if not stage_only:
+                if branch == "main":
+                    self._head = new_id
+                else:
+                    entry = self._refs["branches"].setdefault(
+                        branch, {"created_ms": int(time.time() * 1000)}
+                    )
+                    entry["snapshot_id"] = new_id
             return snap

@@ -152,6 +152,72 @@ class TokenTable:
             else self.log.get(snapshot_id)
         )
 
+    # ----------------------------------------------------------------- refs
+    # Named branches and tags (Iceberg-style refs) + write-audit-publish.
+    # Reference analogue: Circus Train's rename-based cutover publishes a
+    # fully-written replica location in one pointer swap
+    # (core/.../RenameTableOperation.java:42-70); staging a snapshot without
+    # moving the head generalizes that to audit-before-publish.
+    def refs(self) -> dict:
+        return self.log.refs()
+
+    def ref_snapshot_id(self, name: str) -> int:
+        """Resolve a branch or tag name to its snapshot id."""
+        head = self.log.branch_head(name)
+        if head is not None:
+            return head
+        tag = self.log.refs()["tags"].get(name)
+        if tag is not None:
+            return int(tag["snapshot_id"])
+        raise KeyError(f"no branch or tag named {name!r}")
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        sid = self.current_snapshot().snapshot_id if snapshot_id is None else snapshot_id
+        self.log.get(sid)  # must be a retained snapshot
+        self.log.set_ref("tags", name, sid)
+        return sid
+
+    def drop_tag(self, name: str) -> None:
+        self.log.drop_ref("tags", name)
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> int:
+        sid = self.current_snapshot().snapshot_id if snapshot_id is None else snapshot_id
+        self.log.get(sid)
+        self.log.set_ref("branches", name, sid)
+        return sid
+
+    def drop_branch(self, name: str) -> None:
+        self.log.drop_ref("branches", name)
+
+    def publish(self, staged_snapshot_id: int) -> Snapshot:
+        """Publish a ``stage_only`` (write-audit-publish) snapshot to main.
+
+        Fast-forwards the head pointer when the staged snapshot's parent is
+        still the head (pure O(1) metadata swap); otherwise cherry-picks —
+        re-applies the staged delta (added manifest + removed paths, recorded
+        in the staged summary at stage time) on the current head through the
+        normal rebase-checked commit, so a concurrent rewrite of a file the
+        staged commit replaced still raises CommitConflictError."""
+        staged = self.snapshot(staged_snapshot_id)
+        head = self.current_snapshot()
+        if head.snapshot_id == staged.parent_id:
+            try:
+                self.log.fast_forward(staged_snapshot_id, head.snapshot_id)
+                for fn in self.commit_listeners:
+                    fn(staged)
+                return staged
+            except CommitConflictError:
+                pass  # head moved under us — fall through to cherry-pick
+        added_manifest = staged.summary.get("wap_added_manifest")
+        added = pq.read_table(added_manifest).to_pylist() if added_manifest else []
+        removed = set(staged.summary.get("wap_removed_paths", []))
+        return self.commit(
+            operation="publish",
+            added=added,
+            removed_paths=removed,
+            summary={"published_from": staged_snapshot_id},
+        )
+
     # --------------------------------------------------------------- schema
     def data_schema(self, snapshot_id: int | None = None):
         """The table schema as of a snapshot (versioned in the snapshot
@@ -293,6 +359,7 @@ class TokenTable:
         partition_limit: int | None = None,
         doc_id_range: tuple[str, str] | None = None,
         n_tok_range: tuple[int, int] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Snapshot-pinned read. Returns an empty DF for an empty table.
 
@@ -300,7 +367,12 @@ class TokenTable:
         manifest before any data file is opened; ``partition_filter`` is a
         SQL boolean over ``partition``. Range arguments prune files but do
         NOT filter rows — callers still apply their row predicate.
+        ``ref`` reads a named branch head or tag instead of the main head.
         """
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either snapshot_id or ref, not both")
+            snapshot_id = self.ref_snapshot_id(ref)
         if partition_filter or partition_limit is not None:
             sel = self.select_partitions(
                 partition_filter, partition_limit, snapshot_id
@@ -518,6 +590,8 @@ class TokenTable:
         expected_parent_id: int | None = None,
         event_id: str | None = None,
         conflict_retries: int = 4,
+        branch: str = "main",
+        stage_only: bool = False,
     ) -> Snapshot:
         """Copy-on-write metadata commit: carry forward untouched manifests,
         rewrite manifests that lose entries, add one manifest for new files,
@@ -534,7 +608,13 @@ class TokenTable:
         ``core/Locomotive.java:107-126``).
         """
         event_id = event_id or new_event_id()
-        parent = self.current_snapshot()
+        if branch == "main":
+            parent = self.current_snapshot()
+        else:
+            head_id = self.log.branch_head(branch)
+            if head_id is None:
+                raise KeyError(f"no branch named {branch!r}; create_branch first")
+            parent = self.snapshot(head_id)
         if expected_parent_id is None:
             expected_parent_id = parent.snapshot_id
         elif expected_parent_id != parent.snapshot_id:
@@ -555,6 +635,8 @@ class TokenTable:
                 removed_paths=removed_paths,
                 summary=summary,
                 event_id=event_id,
+                branch=branch,
+                stage_only=stage_only,
             )
             if isinstance(snap_or_conflict, Snapshot):
                 snap = snap_or_conflict
@@ -565,7 +647,7 @@ class TokenTable:
                     f"commit of {operation!r} lost {attempt} straight races; giving up"
                 ) from snap_or_conflict
             # rebase: valid iff no concurrent commit touched a file we remove
-            head = self.current_snapshot()
+            head = self.snapshot(self.log.branch_head(branch))
             if removed_paths:
                 live = {e["file_path"] for e in self.manifest_entries(head.snapshot_id)}
                 missing = removed_paths - live
@@ -589,20 +671,30 @@ class TokenTable:
         removed_paths: set[str],
         summary: dict | None,
         event_id: str,
+        branch: str = "main",
+        stage_only: bool = False,
     ) -> "Snapshot | CommitConflictError":
         """One optimistic attempt against ``parent``; returns the conflict
         (not raises) so the caller's rebase loop stays exception-clean."""
-        new_sid = parent.snapshot_id + 1
+        new_sid = self.log.next_id()
         if removed_paths:
             manifests = self._rewrite_manifests_for_removal(parent, removed_paths)
         else:
             manifests = list(parent.manifests)
+        added_manifest: str | None = None
         if added:
             stamped = [dict(e) for e in added]
             for e in stamped:
                 e["added_snapshot_id"] = new_sid
-            manifests.append(self.write_manifest(stamped))
+            added_manifest = self.write_manifest(stamped)
+            manifests.append(added_manifest)
         summary = dict(summary or {})
+        if stage_only:
+            # record the delta so publish() can cherry-pick onto a moved head
+            if added_manifest:
+                summary["wap_added_manifest"] = added_manifest
+            if removed_paths:
+                summary["wap_removed_paths"] = sorted(removed_paths)
         if "schema" not in summary:
             # carry the schema forward so expiring old snapshots never
             # loses the table's evolved schema
@@ -620,6 +712,9 @@ class TokenTable:
                 operation=operation,
                 manifests=manifests,
                 summary=summary,
+                branch=branch,
+                stage_only=stage_only,
+                snapshot_id=new_sid,
             )
         except CommitConflictError as e:
             return e
@@ -629,15 +724,25 @@ class TokenTable:
         df: DataFrame,
         num_files: int | None = None,
         summary: dict | None = None,
+        branch: str = "main",
+        stage_only: bool = False,
     ) -> Snapshot:
         """Append rows as a new snapshot. ``summary`` extras are stamped into
         the snapshot descriptor in the SAME atomic commit — callers use this
         to make external idempotency markers (e.g. a streaming micro-batch
-        id) transactional with the data."""
+        id) transactional with the data.
+
+        ``branch`` appends to a named branch; ``stage_only`` stages a
+        write-audit-publish snapshot that no reader sees until ``publish``."""
         event_id = new_event_id()
         entries = self.write_data_files(df, event_id, num_files=num_files)
         return self.commit(
-            operation="append", added=entries, summary=summary, event_id=event_id
+            operation="append",
+            added=entries,
+            summary=summary,
+            event_id=event_id,
+            branch=branch,
+            stage_only=stage_only,
         )
 
     # ------------------------------------------------------------ utilities

@@ -115,6 +115,7 @@ MANIFEST_DIR = "metadata/manifests"
 LINEAGE_DIR = "lineage"
 VERSION_HINT = "metadata/version-hint.text"
 COMMIT_LOCK = "metadata/commit.lock"
+REFS_FILE = "metadata/refs.json"
 
 # Directory-partition column used only on write (kept duplicated so the
 # `source` column stays inside the parquet files themselves — Iceberg-style:

@@ -71,6 +71,9 @@ class Snapshot:
         )
 
 
+MAIN_BRANCH = "main"
+
+
 class SnapshotLog:
     """Filesystem-backed snapshot log for one table root."""
 
@@ -79,6 +82,7 @@ class SnapshotLog:
         self.snapshot_dir = os.path.join(root, S.SNAPSHOT_DIR)
         self.hint_path = os.path.join(root, S.VERSION_HINT)
         self.lock_path = os.path.join(root, S.COMMIT_LOCK)
+        self.refs_path = os.path.join(root, S.REFS_FILE)
 
     # -- reads ------------------------------------------------------------
     def current_id(self) -> int | None:
@@ -132,6 +136,96 @@ class SnapshotLog:
         except FileNotFoundError:
             pass
 
+    # -- refs (named branches & tags, Iceberg-style) ------------------------
+    def refs(self) -> dict:
+        """``{"branches": {name: {"snapshot_id": id, ...}}, "tags": {...}}``.
+        ``main`` is implicit (the version hint), never stored here."""
+        try:
+            with open(self.refs_path) as f:
+                d = json.load(f)
+        except FileNotFoundError:
+            d = {}
+        d.setdefault("branches", {})
+        d.setdefault("tags", {})
+        return d
+
+    def branch_head(self, branch: str = MAIN_BRANCH) -> int | None:
+        if branch == MAIN_BRANCH:
+            return self.current_id()
+        b = self.refs()["branches"].get(branch)
+        return None if b is None else int(b["snapshot_id"])
+
+    def _write_refs_locked(self, refs: dict) -> None:
+        self._write_atomic(self.refs_path, json.dumps(refs, indent=1))
+
+    def set_ref(self, kind: str, name: str, snapshot_id: int) -> None:
+        """Create/update a named ref under the commit lock. Tags are
+        immutable: re-pointing an existing tag raises."""
+        assert kind in ("branches", "tags")
+        if name == MAIN_BRANCH:
+            raise ValueError("'main' is the implicit head ref; use commit/rollback")
+        os.makedirs(os.path.dirname(self.lock_path), exist_ok=True)
+        with open(self.lock_path, "a") as lock:
+            fcntl.flock(lock.fileno(), fcntl.LOCK_EX)
+            try:
+                refs = self.refs()
+                prev = refs[kind].get(name)
+                if kind == "tags" and prev and prev["snapshot_id"] != snapshot_id:
+                    raise ValueError(
+                        f"tag {name!r} already points at {prev['snapshot_id']}; "
+                        "tags are immutable (drop it first)"
+                    )
+                refs[kind][name] = {
+                    "snapshot_id": int(snapshot_id),
+                    "created_ms": int(time.time() * 1000),
+                }
+                self._write_refs_locked(refs)
+            finally:
+                fcntl.flock(lock.fileno(), fcntl.LOCK_UN)
+
+    def drop_ref(self, kind: str, name: str) -> None:
+        os.makedirs(os.path.dirname(self.lock_path), exist_ok=True)
+        with open(self.lock_path, "a") as lock:
+            fcntl.flock(lock.fileno(), fcntl.LOCK_EX)
+            try:
+                refs = self.refs()
+                refs[kind].pop(name, None)
+                self._write_refs_locked(refs)
+            finally:
+                fcntl.flock(lock.fileno(), fcntl.LOCK_UN)
+
+    def next_id(self) -> int:
+        """Next globally-unique snapshot id: max over every snapshot on disk
+        (branch/staged snapshots included) and the current head."""
+        ids = self.all_snapshot_ids()
+        hi = ids[-1] if ids else 0
+        cur = self.current_id()
+        if cur is not None and cur > hi:
+            hi = cur
+        return hi + 1
+
+    def fast_forward(self, to_snapshot_id: int, expected_head: int | None) -> None:
+        """Atomically advance the main head to ``to_snapshot_id`` (must be a
+        direct child of the current head — the publish half of
+        write-audit-publish). Raises CommitConflictError when the head moved."""
+        with open(self.lock_path, "a") as lock:
+            fcntl.flock(lock.fileno(), fcntl.LOCK_EX)
+            try:
+                cur = self.current_id()
+                if cur != expected_head:
+                    raise CommitConflictError(
+                        f"expected head {expected_head}, found {cur}"
+                    )
+                target = self.get(to_snapshot_id)
+                if target.parent_id != cur:
+                    raise CommitConflictError(
+                        f"snapshot {to_snapshot_id} is not a child of head {cur}; "
+                        "cherry-pick instead"
+                    )
+                self._write_atomic(self.hint_path, str(to_snapshot_id))
+            finally:
+                fcntl.flock(lock.fileno(), fcntl.LOCK_UN)
+
     # -- writes -----------------------------------------------------------
     def _write_atomic(self, path: str, text: str) -> None:
         tmp = f"{path}.tmp.{os.getpid()}.{time.monotonic_ns()}"
@@ -149,20 +243,39 @@ class SnapshotLog:
         operation: str,
         manifests: list[str],
         summary: dict,
+        branch: str = MAIN_BRANCH,
+        stage_only: bool = False,
+        snapshot_id: int | None = None,
     ) -> Snapshot:
-        """Atomically advance the table head. Raises CommitConflictError if
-        the head is no longer ``expected_parent_id``."""
+        """Atomically advance a ref (``main`` = the table head; any other
+        ``branch`` = its refs.json pointer). Raises CommitConflictError if
+        the ref is no longer ``expected_parent_id``.
+
+        ``stage_only`` writes the snapshot descriptor WITHOUT moving any
+        pointer — the write half of write-audit-publish; readers audit it by
+        id, ``fast_forward``/cherry-pick publishes it later.
+
+        ``snapshot_id`` lets the caller pre-allocate the id it stamped into
+        manifest entries (``added_snapshot_id``); a stale pre-allocation
+        (id taken by a concurrent commit) is a conflict, so the caller's
+        rebase loop re-stamps and retries.
+        """
         os.makedirs(self.snapshot_dir, exist_ok=True)
         os.makedirs(os.path.dirname(self.lock_path), exist_ok=True)
         with open(self.lock_path, "a") as lock:
             fcntl.flock(lock.fileno(), fcntl.LOCK_EX)
             try:
-                cur = self.current_id()
+                cur = self.branch_head(branch)
                 if cur != expected_parent_id:
                     raise CommitConflictError(
-                        f"expected head {expected_parent_id}, found {cur}; re-plan and retry"
+                        f"expected {branch} head {expected_parent_id}, found {cur}; "
+                        "re-plan and retry"
                     )
-                new_id = 1 if cur is None else cur + 1
+                new_id = self.next_id() if snapshot_id is None else snapshot_id
+                if os.path.exists(self.snapshot_path(new_id)):
+                    raise CommitConflictError(
+                        f"snapshot id {new_id} was taken by a concurrent commit"
+                    )
                 snap = Snapshot(
                     snapshot_id=new_id,
                     parent_id=cur,
@@ -173,7 +286,18 @@ class SnapshotLog:
                     summary=summary,
                 )
                 self._write_atomic(self.snapshot_path(new_id), snap.to_json())
-                self._write_atomic(self.hint_path, str(new_id))
+                if not stage_only:
+                    if branch == MAIN_BRANCH:
+                        self._write_atomic(self.hint_path, str(new_id))
+                    else:
+                        refs = self.refs()
+                        refs["branches"][branch] = {
+                            "snapshot_id": new_id,
+                            "created_ms": refs["branches"]
+                            .get(branch, {})
+                            .get("created_ms", int(time.time() * 1000)),
+                        }
+                        self._write_refs_locked(refs)
                 return snap
             finally:
                 fcntl.flock(lock.fileno(), fcntl.LOCK_UN)

@@ -64,6 +64,15 @@ def expire_snapshots(
         for sid, s in snaps.items():
             if s.timestamp_ms >= older_than_ms:
                 retained.add(sid)
+    # named refs pin their snapshots: a tagged snapshot or a branch head is
+    # never expired regardless of age/position (Iceberg ref-retention
+    # semantics; drop the ref to release it)
+    refs = table.log.refs()
+    for group in (refs["branches"], refs["tags"]):
+        for v in group.values():
+            sid = int(v["snapshot_id"])
+            if sid in snaps:
+                retained.add(sid)
     expired = [sid for sid in all_ids if sid not in retained]
     if not expired:
         return ExpireResult([], sorted(retained), 0, 0, 0, time.monotonic() - t0)
