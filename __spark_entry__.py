@@ -368,6 +368,111 @@ SELECT * FROM deleted UNION ALL SELECT * FROM upd_ins UNION ALL SELECT * FROM ne
 """
 
 
+def q_tml_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE FROM ... WHERE: whole-source files leave the snapshot
+    metadata-only (files are single-source), the n_tok clause forces
+    copy-on-write rewrites of partially-matched files — both paths in one
+    statement (reference analogue: partition drop via metadata in
+    core/replica/DestructiveReplica.java:83-127)."""
+    from circus_train_spark.operators.delete import delete_where
+
+    table = _fresh_table(spark, sf_dir)
+    res = delete_where(
+        table, "source IN ('src3', 'src7') OR n_tok > 100", verify=False
+    )
+    assert res.files_dropped > 0  # the metadata-only path actually ran
+    assert res.files_rewritten > 0  # and so did copy-on-write
+    return _scan_summary(table.scan())
+
+
+_TML_DELETE_SQL = """
+SELECT printf('doc-%08d', doc_id) AS doc_id,
+       source,
+       CAST((n_chars % 121) + 8 AS BIGINT) AS n_tok,
+       CAST(list_sum([ (doc_id*2654435761 + i*2246822519) % 50257
+                       for i in generate_series(1, (n_chars % 121) + 8) ])
+            AS BIGINT) AS tok_sum
+FROM documents
+WHERE NOT (source IN ('src3', 'src7') OR (n_chars % 121) + 8 > 100)
+"""
+
+
+def q_tml_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET ... WHERE: only matched files are rewritten, the SET
+    expression reads the pre-update row."""
+    from circus_train_spark.operators.delete import update_where
+
+    table = _fresh_table(spark, sf_dir)
+    res = update_where(
+        table,
+        "source IN ('src2', 'src12')",
+        {"source": "concat(source, '_clean')"},
+    )
+    assert res.files_untouched > 0
+    return _scan_summary(table.scan())
+
+
+_TML_UPDATE_SQL = """
+SELECT printf('doc-%08d', doc_id) AS doc_id,
+       CASE WHEN source IN ('src2', 'src12') THEN source || '_clean'
+            ELSE source END AS source,
+       CAST((n_chars % 121) + 8 AS BIGINT) AS n_tok,
+       CAST(list_sum([ (doc_id*2654435761 + i*2246822519) % 50257
+                       for i in generate_series(1, (n_chars % 121) + 8) ])
+            AS BIGINT) AS tok_sum
+FROM documents
+"""
+
+
+def q_tml_wap_publish_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish: stage an append that no main reader sees, audit
+    it by snapshot id, let the head move under it (concurrent append), then
+    publish — the cherry-pick re-applies the staged delta on the new head.
+    Final scan must equal the identity derivation over ALL documents.
+    Reference analogue: Circus Train's atomic rename cutover publishes a
+    fully-written replica in one pointer swap
+    (core/.../RenameTableOperation.java:42-70)."""
+    from circus_train_spark.meta.catalog import TokenTable
+
+    root = tempfile.mkdtemp(prefix="cts-entry-")
+    table = TokenTable.create(spark, os.path.join(root, "tbl"))
+    docs = tokenized_documents(spark, sf_dir)
+    num = F.substring("doc_id", 5, 8).cast("long")  # numeric id back out
+    table.append(docs.filter(num % 3 == 0), num_files=2)
+    head_before = table.current_snapshot().snapshot_id
+    staged = table.append(docs.filter(num % 3 == 1), num_files=2, stage_only=True)
+    # audit: invisible on main, fully readable by id
+    assert table.current_snapshot().snapshot_id == head_before
+    # head moves while the staged snapshot is under audit → publish cherry-picks
+    table.append(docs.filter(num % 3 == 2), num_files=2)
+    pub = table.publish(staged.snapshot_id)
+    assert pub.operation == "publish"
+    return _scan_summary(table.scan())
+
+
+def q_tml_branch_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named branches + tags: tag the base snapshot, branch from it, commit
+    the remaining rows to the branch only — main must stay at the tag while
+    the branch scan returns the full identity derivation (Iceberg-style
+    refs; reference analogue: independent replica tables per target in
+    ``core/Locomotive.java:107-126``)."""
+    from circus_train_spark.meta.catalog import TokenTable
+
+    root = tempfile.mkdtemp(prefix="cts-entry-")
+    table = TokenTable.create(spark, os.path.join(root, "tbl"))
+    docs = tokenized_documents(spark, sf_dir)
+    num = F.substring("doc_id", 5, 8).cast("long")
+    table.append(docs.filter(num % 2 == 0), num_files=2)
+    base_count = table.scan().count()
+    table.create_tag("base")
+    table.create_branch("exp")
+    table.append(docs.filter(num % 2 == 1), num_files=2, branch="exp")
+    # main and the tag are untouched by the branch commit
+    assert table.scan().count() == base_count
+    assert table.scan(ref="base").count() == base_count
+    return _scan_summary(table.scan(ref="exp"))
+
+
 # ---------------------------------------------------------------- analytics
 
 
@@ -1473,6 +1578,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tml_housekeeping_scan": q_tml_housekeeping_scan,
         "tml_rollback_scan": q_tml_rollback_scan,
         "tml_cdc_scan": q_tml_cdc_scan,
+        "tml_wap_publish_scan": q_tml_wap_publish_scan,
+        "tml_branch_scan": q_tml_branch_scan,
+        "tml_delete_scan": q_tml_delete_scan,
+        "tml_update_scan": q_tml_update_scan,
         "dynamic_filter_scan": q_dynamic_filter_scan,
         # diff + replication (the reference's core pipeline)
         "table_diff": q_table_diff,
@@ -1533,6 +1642,10 @@ def oracle_sql() -> dict[str, str]:
         "tml_housekeeping_scan": tok_identity,
         "tml_rollback_scan": tok_identity,
         "tml_cdc_scan": _TML_CDC_SQL,
+        "tml_wap_publish_scan": tok_identity,
+        "tml_branch_scan": tok_identity,
+        "tml_delete_scan": _TML_DELETE_SQL,
+        "tml_update_scan": _TML_UPDATE_SQL,
         "dynamic_filter_scan": _DYNAMIC_FILTER_SQL,
         "pii_scrub": _PII_SQL,
         "sample_mixture": _SAMPLE_MIXTURE_SQL,

@@ -1,0 +1,261 @@
+"""Row-level DELETE / UPDATE by predicate — three-way file classification.
+
+``DELETE FROM t WHERE p`` and ``UPDATE t SET c = e WHERE p`` over the token
+table, copy-on-write. The plan classifies every file with ONE Spark job and
+touches the minimum set of bytes:
+
+1. **manifest pruning** — callers who know their predicate's bounds pass
+   ``doc_id_range`` / ``n_tok_range`` and files outside the min/max stats
+   never appear in the plan (same skip path as ``TokenTable.scan``).
+2. **classify job** — read surviving files with the predicate pushed into
+   the parquet scan (row-group stats skip non-matching groups before
+   decoding) and count matching rows per ``input_file_name()``. The
+   reduction is a per-file groupBy — parallel, metadata-sized output.
+3. **three-way split** per file against its manifest row count:
+   - ``matched == 0``        → untouched (not even listed in the commit);
+   - ``matched == n_rows``   → **dropped metadata-only** (DELETE only):
+     the file leaves the snapshot without being read again or rewritten —
+     at 100 TB a partition-aligned delete is pure manifest surgery;
+   - otherwise               → copy-on-write rewrite of the survivors
+     (DELETE) or of all rows with ``CASE WHEN p THEN e ELSE c END``
+     applied (UPDATE), shuffle-free like the merge writer.
+4. one atomic commit: remove dropped+rewritten files, add the rewrites.
+
+NULL semantics match SQL: only rows where the predicate is TRUE are
+deleted/updated; rows where it evaluates NULL survive unchanged.
+
+Reference analogue: Circus Train's destructive replication drops whole
+replica partitions via metadata before any data I/O
+(``core/replica/DestructiveReplica.java:83-127``); the partial-file rewrite
+is the same copy-on-write minimality contract as ``operators/merge.py``.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import functions as F
+
+from circus_train_spark.ids import new_event_id
+from circus_train_spark.meta.catalog import TokenTable
+from circus_train_spark.meta.lineage import STATUS_DONE, LineageRecord
+
+OP_DELETE = "delete"
+OP_UPDATE = "update"
+
+
+@dataclass
+class DeleteResult:
+    snapshot_id: int
+    rows_deleted: int
+    files_dropped: int       # fully-matched: removed metadata-only
+    files_rewritten: int     # partially-matched: copy-on-write
+    files_untouched: int
+    files_pruned: int        # skipped via manifest min/max before any read
+    duration_s: float
+
+
+@dataclass
+class UpdateResult:
+    snapshot_id: int
+    rows_updated: int
+    files_rewritten: int
+    files_untouched: int
+    files_pruned: int
+    duration_s: float
+
+
+def _strip(p: str) -> str:
+    if p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def _classify(table: TokenTable, base, predicate: str, doc_id_range, n_tok_range):
+    """One job: per-file matched-row counts for every non-pruned file."""
+    entries = table.manifest_entries(base.snapshot_id)
+    paths = table.file_paths(
+        base.snapshot_id, doc_id_range=doc_id_range, n_tok_range=n_tok_range
+    )
+    n_pruned = len(entries) - len(paths)
+    matched: dict[str, int] = {}
+    if paths:
+        rows = (
+            table.scan(files=paths)
+            .filter(F.expr(predicate))
+            .groupBy(F.input_file_name().alias("_file"))
+            .agg(F.count(F.lit(1)).alias("m"))
+            .collect()
+        )
+        matched = {_strip(r["_file"]): r["m"] for r in rows}
+    return entries, paths, matched, n_pruned
+
+
+def delete_where(
+    table: TokenTable,
+    predicate: str,
+    *,
+    doc_id_range: tuple[str, str] | None = None,
+    n_tok_range: tuple[int, int] | None = None,
+    verify: bool = True,
+    run_id: str | None = None,
+) -> DeleteResult:
+    t0 = time.monotonic()
+    event_id = run_id or new_event_id()
+    base = table.current_snapshot()
+    entries, paths, matched, n_pruned = _classify(
+        table, base, predicate, doc_id_range, n_tok_range
+    )
+    rows_by_file = {e["file_path"]: e["n_rows"] for e in entries}
+
+    dropped = sorted(f for f, m in matched.items() if m == rows_by_file[f])
+    partial = sorted(f for f, m in matched.items() if m < rows_by_file[f])
+    rows_deleted = sum(matched.values())
+    if not matched:
+        return DeleteResult(
+            base.snapshot_id, 0, 0, 0, len(paths), n_pruned,
+            time.monotonic() - t0,
+        )
+
+    added: list[dict] = []
+    if partial:
+        pred = F.expr(predicate)
+        survivors = table.scan(files=partial).filter(~pred | F.isnull(pred))
+        added = table.write_data_files(
+            survivors, event_id, num_files=None, sub_dir="deleted", shuffle=False
+        )
+
+    removed = set(dropped) | set(partial)
+    table.lineage.append(
+        LineageRecord(
+            run_id=event_id,
+            operation=OP_DELETE,
+            group_id=event_id,
+            partition=None,
+            files_in=sorted(removed),
+            files_out=[e["file_path"] for e in added],
+            rows=rows_deleted,
+            bytes_in=sum(e["file_size"] for e in entries if e["file_path"] in removed),
+            bytes_out=sum(e["file_size"] for e in added),
+            status=STATUS_DONE,
+            duration_s=time.monotonic() - t0,
+        )
+    )
+    snap = table.commit(
+        operation=OP_DELETE,
+        added=added,
+        removed_paths=removed,
+        summary={
+            "predicate": predicate,
+            "rows_deleted": rows_deleted,
+            "files_dropped_metadata_only": len(dropped),
+            "files_rewritten": len(partial),
+            "files_pruned_by_stats": n_pruned,
+        },
+        expected_parent_id=base.snapshot_id,
+        event_id=event_id,
+    )
+    if verify:
+        post = table.scan()
+        assert post.filter(F.expr(predicate)).count() == 0, "matching rows survived"
+        n_before = sum(rows_by_file.values())
+        n_after = sum(e["n_rows"] for e in table.manifest_entries(snap.snapshot_id))
+        assert n_after == n_before - rows_deleted, "row accounting mismatch"
+    return DeleteResult(
+        snapshot_id=snap.snapshot_id,
+        rows_deleted=rows_deleted,
+        files_dropped=len(dropped),
+        files_rewritten=len(partial),
+        files_untouched=len(paths) - len(dropped) - len(partial),
+        files_pruned=n_pruned,
+        duration_s=time.monotonic() - t0,
+    )
+
+
+def update_where(
+    table: TokenTable,
+    predicate: str,
+    assignments: dict[str, str],
+    *,
+    doc_id_range: tuple[str, str] | None = None,
+    n_tok_range: tuple[int, int] | None = None,
+    run_id: str | None = None,
+) -> UpdateResult:
+    """``UPDATE ... SET col = <sql expr> WHERE predicate``; expressions may
+    reference any data column (evaluated against the pre-update row)."""
+    t0 = time.monotonic()
+    event_id = run_id or new_event_id()
+    base = table.current_snapshot()
+    data_cols = [f.name for f in table.data_schema().fields]
+    bad = set(assignments) - set(data_cols)
+    if bad:
+        raise ValueError(f"unknown columns in SET: {sorted(bad)}")
+    if "doc_id" in assignments:
+        raise ValueError("doc_id is the table key; use merge_into to re-key rows")
+
+    entries, paths, matched, n_pruned = _classify(
+        table, base, predicate, doc_id_range, n_tok_range
+    )
+    rows_updated = sum(matched.values())
+    touched = sorted(matched)
+    if not touched:
+        return UpdateResult(
+            base.snapshot_id, 0, 0, len(paths), n_pruned, time.monotonic() - t0
+        )
+
+    pred = F.expr(predicate)
+    out = table.scan(files=touched).select(
+        *[
+            (
+                F.when(pred, F.expr(sql_expr)).otherwise(F.col(c)).alias(c)
+                if (sql_expr := assignments.get(c)) is not None
+                else F.col(c)
+            )
+            for c in data_cols
+        ]
+    )
+    added = table.write_data_files(
+        out, event_id, num_files=None, sub_dir="updated", shuffle=False
+    )
+    table.lineage.append(
+        LineageRecord(
+            run_id=event_id,
+            operation=OP_UPDATE,
+            group_id=event_id,
+            partition=None,
+            files_in=touched,
+            files_out=[e["file_path"] for e in added],
+            rows=rows_updated,
+            bytes_in=sum(
+                e["file_size"] for e in entries if e["file_path"] in set(touched)
+            ),
+            bytes_out=sum(e["file_size"] for e in added),
+            status=STATUS_DONE,
+            duration_s=time.monotonic() - t0,
+        )
+    )
+    snap = table.commit(
+        operation=OP_UPDATE,
+        added=added,
+        removed_paths=set(touched),
+        summary={
+            "predicate": predicate,
+            "assignments": assignments,
+            "rows_updated": rows_updated,
+            "files_rewritten": len(touched),
+            "files_pruned_by_stats": n_pruned,
+        },
+        expected_parent_id=base.snapshot_id,
+        event_id=event_id,
+    )
+    return UpdateResult(
+        snapshot_id=snap.snapshot_id,
+        rows_updated=rows_updated,
+        files_rewritten=len(touched),
+        files_untouched=len(paths) - len(touched),
+        files_pruned=n_pruned,
+        duration_s=time.monotonic() - t0,
+    )
