@@ -1539,6 +1539,120 @@ _MULTIMODAL_SQL = """
 # --------------------------------------------------------------- the contract
 
 
+# ------------------------------------------------- token packing / vocab
+
+
+def _pack_shard() -> F.Column:
+    """Deterministic arithmetic shard (doc number mod 4) so the DuckDB
+    oracle can replicate the stream split; production uses a hash shard
+    (any deterministic split is a valid packing order)."""
+    return F.substring("doc_id", 5, 8).cast("long") % 4
+
+
+def q_seq_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing plan over the token table:
+    per-(source, shard) running offsets + chunk spans, pure window
+    arithmetic (no pass over token arrays)."""
+    from circus_train_spark.pipeline.tokens import pack_plan
+
+    return pack_plan(
+        tokenized_documents(spark, sf_dir), max_len=2048, shard_col=_pack_shard()
+    )
+
+
+def q_seq_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk packing manifest (docs / clipped tokens / boundary docs
+    per fixed 2048-token training chunk)."""
+    from circus_train_spark.pipeline.tokens import chunk_manifest
+
+    return chunk_manifest(
+        tokenized_documents(spark, sf_dir), max_len=2048, shard_col=_pack_shard()
+    )
+
+
+def q_token_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 token frequencies: explode folds map-side into a partial
+    hash agg (≤ |vocab| rows shuffled per task); top-k is
+    TakeOrderedAndProject, never a global sort."""
+    from circus_train_spark.pipeline.tokens import token_vocab
+
+    return token_vocab(tokenized_documents(spark, sf_dir), k=100)
+
+
+def q_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram — narrow-column aggregate (token arrays
+    pruned at the scan)."""
+    from circus_train_spark.pipeline.tokens import length_histogram
+
+    return length_histogram(tokenized_documents(spark, sf_dir), width=8)
+
+
+_PACK_TOK_CTE = """
+WITH tok AS (
+  SELECT printf('doc-%08d', doc_id) AS doc_id, source,
+         CAST((n_chars % 121) + 8 AS BIGINT) AS n_tok,
+         CAST(doc_id % 4 AS BIGINT) AS shard
+  FROM documents
+), plan AS (
+  SELECT source, shard, doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (
+             PARTITION BY source, shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS pack_offset
+  FROM tok
+)
+"""
+
+_PACK_PLAN_SQL = _PACK_TOK_CTE + """
+SELECT source, shard, doc_id, n_tok, pack_offset,
+       pack_offset // 2048 AS chunk_first,
+       (pack_offset + n_tok - 1) // 2048 AS chunk_last
+FROM plan
+"""
+
+_PACK_CHUNKS_SQL = _PACK_TOK_CTE + """
+, spans AS (
+  SELECT source, shard, pack_offset, n_tok,
+         pack_offset // 2048 AS chunk_first,
+         (pack_offset + n_tok - 1) // 2048 AS chunk_last,
+         unnest(generate_series(pack_offset // 2048,
+                                (pack_offset + n_tok - 1) // 2048)) AS chunk_id
+  FROM plan
+)
+SELECT source, shard, chunk_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEAST((chunk_id + 1) * 2048, pack_offset + n_tok)
+                - GREATEST(chunk_id * 2048, pack_offset)) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN chunk_first <> chunk_last THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_split_docs
+FROM spans GROUP BY source, shard, chunk_id
+"""
+
+_TOKEN_VOCAB_SQL = """
+SELECT CAST(token AS BIGINT) AS token,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM (
+  SELECT unnest([ (doc_id*2654435761 + i*2246822519) % 50257
+                  for i in generate_series(1, (n_chars % 121) + 8) ]) AS token
+  FROM documents)
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 100
+"""
+
+_LENGTH_HIST_SQL = """
+WITH tok AS (
+  SELECT CAST((n_chars % 121) + 8 AS BIGINT) AS n_tok FROM documents
+)
+SELECT (n_tok // 8) * 8 AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(min(n_tok) AS BIGINT) AS min_len,
+       CAST(max(n_tok) AS BIGINT) AS max_len
+FROM tok GROUP BY bucket_lo
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full maintenance cycle on sf0.001, per-source scan summary."""
     from circus_train_spark.operators.cluster import cluster
@@ -1614,6 +1728,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "repetition_stats": q_repetition_stats,
         "dedup_cc_groups": q_dedup_cc_groups,
+        # token packing / vocabulary (training-data assembly)
+        "seq_pack_plan": q_seq_pack_plan,
+        "seq_pack_chunks": q_seq_pack_chunks,
+        "token_vocab_topk": q_token_vocab_topk,
+        "seq_length_histogram": q_seq_length_histogram,
         # similarity
         "sim_topk": q_sim_topk,
         "sim_pairs_block": q_sim_pairs_block,
@@ -1652,6 +1771,10 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": _CONTAMINATION_SQL,
         "repetition_stats": _REPETITION_SQL,
         "dedup_cc_groups": _DEDUP_CC_SQL,
+        "seq_pack_plan": _PACK_PLAN_SQL,
+        "seq_pack_chunks": _PACK_CHUNKS_SQL,
+        "token_vocab_topk": _TOKEN_VOCAB_SQL,
+        "seq_length_histogram": _LENGTH_HIST_SQL,
         "events_stream_hourly": """
             SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
                    count(*) AS n,

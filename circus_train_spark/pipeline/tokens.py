@@ -1,0 +1,144 @@
+"""Token-level operators over the pre-tokenized sequence table
+(doc_id, tokens:array<int>, n_tok, source) — the packing and vocabulary
+statistics a large-scale LLM training-data pipeline runs after dedup.
+
+Reference analogue: none (circus-train replicates partitions; it never
+looks inside rows) — this module is part of the engine's training-data
+surface, the same tier as ``pipeline/dedup.py`` / ``pipeline/text.py``.
+
+Scale posture (10^12 sequences):
+
+- **pack_plan / chunk_manifest** use a running-sum window partitioned by
+  (source, shard). The shard column exists precisely so no window
+  partition is ever a whole source: at 100 TB pick ``shards`` so each
+  (source, shard) cell holds ~10^6-10^7 rows (one task's worth). Packing
+  order only needs to be *deterministic*, not global — training examples
+  are shuffled downstream anyway — so sharding the stream is free.
+- **token_vocab** explodes 10^14 token positions but Spark's partial
+  hash aggregation folds them map-side to ≤ |vocab| rows per task before
+  the shuffle; the top-k is TakeOrderedAndProject (per-partition heaps,
+  never a global sort).
+- **length_histogram** is a pure narrow-column aggregate (n_tok only —
+  column pruning keeps the token arrays unread).
+
+Everything is JVM expressions; no Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_plan(
+    tokens_df: DataFrame,
+    max_len: int = 2048,
+    shard_col: Column | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing plan.
+
+    Within each (source, shard) stream, documents are concatenated in
+    ``id_col`` order and the token stream is cut into fixed ``max_len``
+    chunks (documents may span chunk boundaries — the standard
+    pretraining packing). Returns one row per document:
+
+      (source, shard, doc_id, n_tok, pack_offset, chunk_first, chunk_last)
+
+    where ``pack_offset`` is the exclusive running token offset of the
+    document inside its stream. Pure window arithmetic — a single shuffle
+    on (source, shard), no data pass over the token arrays themselves.
+    """
+    shard = (shard_col if shard_col is not None else F.lit(0)).cast("long")
+    df = tokens_df.withColumn("shard", shard)
+    w = (
+        Window.partitionBy(source_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum(F.col(len_col).cast("long")).over(w), F.lit(0))
+    return df.select(
+        source_col,
+        "shard",
+        id_col,
+        F.col(len_col).cast("long").alias(len_col),
+        off.alias("pack_offset"),
+        F.floor(off / max_len).alias("chunk_first"),
+        F.floor((off + F.col(len_col) - 1) / max_len).alias("chunk_last"),
+    )
+
+
+def chunk_manifest(
+    tokens_df: DataFrame,
+    max_len: int = 2048,
+    shard_col: Column | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+) -> DataFrame:
+    """Per-chunk packing manifest: how many documents and tokens land in
+    each fixed-size training chunk.
+
+      (source, shard, chunk_id, n_docs, n_tokens, n_split_docs)
+
+    A document spanning chunks contributes its clipped token count to
+    each chunk it touches (`n_split_docs` counts the documents that cross
+    either boundary of the chunk). The explode fans out only the plan
+    rows (metadata-width), never token arrays.
+    """
+    plan = pack_plan(tokens_df, max_len, shard_col, source_col, id_col, len_col)
+    spans = plan.select(
+        source_col,
+        "shard",
+        id_col,
+        "pack_offset",
+        len_col,
+        "chunk_first",
+        "chunk_last",
+        F.explode(F.sequence("chunk_first", "chunk_last")).alias("chunk_id"),
+    )
+    contrib = F.least(
+        (F.col("chunk_id") + 1) * max_len, F.col("pack_offset") + F.col(len_col)
+    ) - F.greatest(F.col("chunk_id") * max_len, F.col("pack_offset"))
+    split = (F.col("chunk_first") != F.col("chunk_last")).cast("long")
+    return (
+        spans.groupBy(source_col, "shard", "chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(contrib).alias("n_tokens"),
+            F.sum(split).alias("n_split_docs"),
+        )
+    )
+
+
+def token_vocab(
+    tokens_df: DataFrame, k: int = 100, tokens_col: str = "tokens"
+) -> DataFrame:
+    """Top-k token frequencies: (token, n_occurrences), ties broken by
+    token id so the cut at rank k is deterministic."""
+    return (
+        tokens_df.select(F.explode(tokens_col).alias("token"))
+        .groupBy(F.col("token").cast("long").alias("token"))
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(k)
+    )
+
+
+def length_histogram(
+    tokens_df: DataFrame, width: int = 8, len_col: str = "n_tok"
+) -> DataFrame:
+    """Sequence-length histogram over ``width``-sized buckets:
+    (bucket_lo, n_docs, n_tokens, min_len, max_len)."""
+    lo = (F.floor(F.col(len_col) / width) * width).cast("long")
+    return (
+        tokens_df.groupBy(lo.alias("bucket_lo"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col(len_col).cast("long")).alias("n_tokens"),
+            F.min(len_col).cast("long").alias("min_len"),
+            F.max(len_col).cast("long").alias("max_len"),
+        )
+    )

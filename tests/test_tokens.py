@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from circus_train_spark.pipeline.tokens import (
+    chunk_manifest,
+    length_histogram,
+    pack_plan,
+    token_vocab,
+)
+
+
+def _tiny(spark):
+    rows = [
+        ("doc-1", [1, 2, 3], 3, "a"),
+        ("doc-2", [4] * 5, 5, "a"),
+        ("doc-3", [5] * 4, 4, "a"),
+        ("doc-4", [6, 7], 2, "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, tokens array<int>, n_tok int, source string")
+
+
+def test_pack_plan_offsets_and_chunks(spark):
+    # stream a (id order): 3, 5, 4 tokens; max_len 4 →
+    # doc-1 off 0 chunks [0,0]; doc-2 off 3 chunks [0,1]; doc-3 off 8 chunks [2,2]
+    plan = {r["doc_id"]: r for r in pack_plan(_tiny(spark), max_len=4).collect()}
+    assert (plan["doc-1"]["pack_offset"], plan["doc-1"]["chunk_first"], plan["doc-1"]["chunk_last"]) == (0, 0, 0)
+    assert (plan["doc-2"]["pack_offset"], plan["doc-2"]["chunk_first"], plan["doc-2"]["chunk_last"]) == (3, 0, 1)
+    assert (plan["doc-3"]["pack_offset"], plan["doc-3"]["chunk_first"], plan["doc-3"]["chunk_last"]) == (8, 2, 2)
+    assert plan["doc-4"]["pack_offset"] == 0  # independent stream per source
+
+
+def test_chunk_manifest_conserves_tokens(spark):
+    man = chunk_manifest(_tiny(spark), max_len=4)
+    by = {(r["source"], r["chunk_id"]): r for r in man.collect()}
+    # source a: 12 tokens → chunks 0..2 with 4/4/4 tokens
+    assert by[("a", 0)]["n_tokens"] == 4 and by[("a", 0)]["n_docs"] == 2
+    assert by[("a", 1)]["n_tokens"] == 4 and by[("a", 1)]["n_docs"] == 1
+    assert by[("a", 2)]["n_tokens"] == 4 and by[("a", 2)]["n_docs"] == 1
+    assert by[("a", 1)]["n_split_docs"] == 1  # doc-2 crosses the 0/1 boundary
+    # conservation: manifest token total == table token total
+    total = man.agg(F.sum("n_tokens")).first()[0]
+    assert total == 12 + 2
+
+
+def test_pack_plan_sharded_streams(tokens_df):
+    shard = F.xxhash64("doc_id") % 4
+    plan = pack_plan(tokens_df, max_len=512, shard_col=shard)
+    # every (source, shard) stream starts at offset 0 and offsets are
+    # consistent: max(offset)+its n_tok == stream total
+    chk = (
+        plan.groupBy("source", "shard")
+        .agg(
+            F.min("pack_offset").alias("lo"),
+            (F.max(F.col("pack_offset") + F.col("n_tok"))).alias("end"),
+            F.sum("n_tok").alias("tot"),
+        )
+        .collect()
+    )
+    assert chk and all(r["lo"] == 0 and r["end"] == r["tot"] for r in chk)
+
+
+def test_token_vocab_topk(spark):
+    df = _tiny(spark)
+    top = token_vocab(df, k=3).collect()
+    assert [(r["token"], r["n_occurrences"]) for r in top] == [(4, 5), (5, 4), (1, 1)]
+
+
+def test_length_histogram(spark):
+    h = {r["bucket_lo"]: r for r in length_histogram(_tiny(spark), width=4).collect()}
+    assert h[0]["n_docs"] == 2 and h[0]["n_tokens"] == 5  # lens 3, 2
+    assert h[4]["n_docs"] == 2 and h[4]["min_len"] == 4 and h[4]["max_len"] == 5
