@@ -1,15 +1,16 @@
 """Pooled N→4N scaling report over the 1.5 M-row tmpfs leg files.
 
-Pooling rule (documented in BENCH/BASELINE.md): the append / compact /
-cluster / scan code paths are byte-identical across the pre-final and final
-leg sets (verified by commit diff — the interim commits touched only merge,
-the driver-contract queries, and additive catalog helpers), so those phases
-take their per-level minimum over BOTH files. The merge operator changed
-(size-adaptive pruning) between the sets, so merge uses ONLY the final-code
-legs. Per-phase min-of-N is the noise-resistant estimator for the shared,
-externally-loaded host; legs were interleaved (2, 8, 2, 8, …).
+Round-3 pooling rule (documented in BENCH/BASELINE.md): ALL benched phases
+(append / compact / cluster / merge / scan) are code-identical between the
+mid-round leg set (`BENCH/scaling_r3_midround.jsonl`, code at 25b8faa) and
+the final leg set (`BENCH_SCALING.jsonl`) — the interim commits added only
+new modules (refs/WAP, row-level delete, token packing) whose code the
+bench phases never execute (verified by commit diff). Every phase therefore
+takes its per-level minimum over BOTH files. Per-phase min-of-N is the
+noise-resistant estimator for the shared, externally-loaded host; legs were
+interleaved (2, 8, 2, 8, …).
 
-Usage: python tools/scaling_report.py [final.jsonl [prefinal.jsonl]]
+Usage: python tools/scaling_report.py [final.jsonl [midround.jsonl]]
 """
 
 from __future__ import annotations
@@ -18,8 +19,8 @@ import json
 import sys
 
 PHASES = ["append_s", "compact_s", "cluster_s", "merge_s", "scan_s"]
-POOLED = {"append_s", "compact_s", "cluster_s", "scan_s"}  # code-identical
-FINAL_ONLY = {"merge_s"}  # operator changed between the leg sets
+POOLED = {"append_s", "compact_s", "cluster_s", "merge_s", "scan_s"}  # code-identical
+FINAL_ONLY: set = set()  # (round 3: no benched operator changed between leg sets)
 
 
 def load(path: str) -> list[dict]:
@@ -31,7 +32,7 @@ def main() -> None:
     pre_path = (
         sys.argv[2]
         if len(sys.argv) > 2
-        else "BENCH/scaling_tmpfs_15M_prefinal.jsonl"
+        else "BENCH/scaling_r3_midround.jsonl"
     )
     final = load(final_path)
     pre = load(pre_path)
