@@ -1570,6 +1570,28 @@ def q_seq_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed examples: per chunk, the assembled token array
+    summarized as (length, sum, first, last) — proves exact slice/assembly
+    order without hashing giant arrays through the driver compare."""
+    from circus_train_spark.pipeline.tokens import assemble_chunks
+
+    out = assemble_chunks(
+        tokenized_documents(spark, sf_dir), max_len=2048, shard_col=_pack_shard()
+    )
+    return out.select(
+        "source",
+        "shard",
+        "chunk_id",
+        F.size("packed").cast("long").alias("n_tokens"),
+        F.aggregate(
+            "packed", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
+        F.element_at("packed", 1).cast("long").alias("first_tok"),
+        F.element_at("packed", -1).cast("long").alias("last_tok"),
+    )
+
+
 def q_token_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 token frequencies: explode folds map-side into a partial
     hash agg (≤ |vocab| rows shuffled per task); top-k is
@@ -1626,6 +1648,44 @@ SELECT source, shard, chunk_id,
        CAST(SUM(CASE WHEN chunk_first <> chunk_last THEN 1 ELSE 0 END)
             AS BIGINT) AS n_split_docs
 FROM spans GROUP BY source, shard, chunk_id
+"""
+
+_PACK_ASSEMBLE_SQL = """
+WITH tok AS (
+  SELECT printf('doc-%08d', doc_id) AS doc_id, source,
+         CAST((n_chars % 121) + 8 AS BIGINT) AS n_tok,
+         CAST(doc_id % 4 AS BIGINT) AS shard,
+         [ (doc_id*2654435761 + i*2246822519) % 50257
+           for i in generate_series(1, (n_chars % 121) + 8) ] AS tokens
+  FROM documents
+), plan AS (
+  SELECT source, shard, doc_id, n_tok, tokens,
+         CAST(COALESCE(SUM(n_tok) OVER (
+             PARTITION BY source, shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS pack_offset
+  FROM tok
+), spans AS (
+  SELECT source, shard, pack_offset, n_tok, tokens,
+         unnest(generate_series(pack_offset // 2048,
+                                (pack_offset + n_tok - 1) // 2048)) AS chunk_id
+  FROM plan
+), pieces AS (
+  SELECT source, shard, chunk_id, pack_offset,
+         tokens[GREATEST(chunk_id * 2048 - pack_offset, 0) + 1 :
+                LEAST((chunk_id + 1) * 2048 - pack_offset, n_tok)] AS piece
+  FROM spans
+), chunks AS (
+  SELECT source, shard, chunk_id,
+         flatten(list(piece ORDER BY pack_offset)) AS packed
+  FROM pieces GROUP BY source, shard, chunk_id
+)
+SELECT source, shard, chunk_id,
+       CAST(len(packed) AS BIGINT) AS n_tokens,
+       CAST(list_sum(packed) AS BIGINT) AS tok_sum,
+       CAST(packed[1] AS BIGINT) AS first_tok,
+       CAST(packed[-1] AS BIGINT) AS last_tok
+FROM chunks
 """
 
 _TOKEN_VOCAB_SQL = """
@@ -1731,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token packing / vocabulary (training-data assembly)
         "seq_pack_plan": q_seq_pack_plan,
         "seq_pack_chunks": q_seq_pack_chunks,
+        "seq_pack_assemble": q_seq_pack_assemble,
         "token_vocab_topk": q_token_vocab_topk,
         "seq_length_histogram": q_seq_length_histogram,
         # similarity
@@ -1773,6 +1834,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cc_groups": _DEDUP_CC_SQL,
         "seq_pack_plan": _PACK_PLAN_SQL,
         "seq_pack_chunks": _PACK_CHUNKS_SQL,
+        "seq_pack_assemble": _PACK_ASSEMBLE_SQL,
         "token_vocab_topk": _TOKEN_VOCAB_SQL,
         "seq_length_histogram": _LENGTH_HIST_SQL,
         "events_stream_hourly": """

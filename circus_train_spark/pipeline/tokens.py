@@ -113,6 +113,70 @@ def chunk_manifest(
     )
 
 
+def assemble_chunks(
+    tokens_df: DataFrame,
+    max_len: int = 2048,
+    shard_col: Column | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Materialize the packed training examples: one row per chunk with the
+    actual ``max_len``-token array assembled from (slices of) the documents
+    the plan assigns to it.
+
+      (source, shard, chunk_id, packed:array<int>)
+
+    All JVM expressions: per-(doc, chunk) slices via ``F.slice``, assembly
+    order restored with ``array_sort`` over (offset, piece) structs, then
+    one ``flatten``. This is the only packing stage that shuffles token
+    payload (unavoidable — it produces the examples); the shuffle key is
+    (source, shard, chunk_id), so partition sizes are bounded by
+    ``max_len`` × chunks-per-task regardless of document skew.
+    """
+    shard = (shard_col if shard_col is not None else F.lit(0)).cast("long")
+    df = tokens_df.withColumn("shard", shard)
+    w = (
+        Window.partitionBy(source_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum(F.col(len_col).cast("long")).over(w), F.lit(0))
+    base = df.select(
+        source_col,
+        "shard",
+        F.col(tokens_col).alias("_toks"),
+        F.col(len_col).cast("long").alias("_n"),
+        off.alias("_off"),
+        F.floor(off / max_len).alias("_c0"),
+        F.floor((off + F.col(len_col) - 1) / max_len).alias("_c1"),
+    )
+    spans = base.select(
+        source_col,
+        "shard",
+        "_toks",
+        "_n",
+        "_off",
+        F.explode(F.sequence("_c0", "_c1")).alias("chunk_id"),
+    )
+    lo = F.greatest(F.col("chunk_id") * max_len - F.col("_off"), F.lit(0))
+    hi = F.least((F.col("chunk_id") + 1) * max_len - F.col("_off"), F.col("_n"))
+    piece = F.slice(F.col("_toks"), (lo + 1).cast("int"), (hi - lo).cast("int"))
+    packed = F.flatten(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_off").alias("o"), piece.alias("p")))
+            ),
+            lambda s: s["p"],
+        )
+    )
+    return (
+        spans.groupBy(source_col, "shard", "chunk_id")
+        .agg(packed.alias("packed"))
+    )
+
+
 def token_vocab(
     tokens_df: DataFrame, k: int = 100, tokens_col: str = "tokens"
 ) -> DataFrame:

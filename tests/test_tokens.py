@@ -60,6 +60,21 @@ def test_pack_plan_sharded_streams(tokens_df):
     assert chk and all(r["lo"] == 0 and r["end"] == r["tot"] for r in chk)
 
 
+def test_assemble_chunks_exact_stream(spark):
+    from circus_train_spark.pipeline.tokens import assemble_chunks
+
+    out = {
+        r["chunk_id"]: list(r["packed"])
+        for r in assemble_chunks(_tiny(spark), max_len=4)
+        .filter(F.col("source") == "a")
+        .collect()
+    }
+    # stream a = [1,2,3] ++ [4]*5 ++ [5]*4, cut at 4:
+    assert out[0] == [1, 2, 3, 4]
+    assert out[1] == [4, 4, 4, 4]
+    assert out[2] == [5, 5, 5, 5]
+
+
 def test_token_vocab_topk(spark):
     df = _tiny(spark)
     top = token_vocab(df, k=3).collect()
