@@ -124,6 +124,15 @@ def lsh_candidate_pairs(
     in-bucket quadratic join.
     """
     r = num_hashes // bands
+    # Materialize (id, minhash) BEFORE banding: the band/bucket expressions
+    # reference ``minhash[i]`` num_hashes times, and Catalyst's project
+    # collapse inlines the full 32-family signature expression into every
+    # reference (codegen subexpression elimination does not span the
+    # struct-array construction) — measured 6× blowup at sf0.1. The cache
+    # stores 8 B × num_hashes per doc and cuts the signature to exactly
+    # one evaluation per row; the banded rows below are persisted too so
+    # the bucket-size window and both self-join sides share one pass.
+    with_sig = with_sig.select(id_col, "minhash").persist()
     banded = with_sig.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -142,9 +151,13 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
-    sized = banded.withColumn(
-        "_n", F.count("*").over(Window.partitionBy("band", "bucket"))
-    ).filter(F.col("_n") <= max_bucket)
+    sized = (
+        banded.withColumn(
+            "_n", F.count("*").over(Window.partitionBy("band", "bucket"))
+        )
+        .filter(F.col("_n") <= max_bucket)
+        .persist()
+    )
     a = sized.alias("a")
     b = sized.alias("b")
     pairs = (
@@ -195,6 +208,15 @@ def minhash_dedup(
 ) -> DataFrame:
     """End-to-end near-dup removal: LSH candidates → Jaccard ≥ threshold →
     drop the higher doc_id of each matched pair (greedy union toward min)."""
+    # The signature is the CPU-bound stage (num_hashes transforms over the
+    # shingle array); its parallelism is whatever the source scan gives.
+    # Few-large-files inputs (or a small unioned test corpus) arrive in a
+    # handful of splits and would compute the signature on that many cores
+    # — spread them first. At real scale maxPartitionBytes already yields
+    # >= defaultParallelism splits and this is a no-op (no shuffle).
+    sc = documents.sparkSession.sparkContext
+    if documents.rdd.getNumPartitions() < sc.defaultParallelism:
+        documents = documents.repartition(sc.defaultParallelism)
     sig = with_minhash(documents, text_col, num_hashes, shingle_n)
     cands = lsh_candidate_pairs(sig, num_hashes, bands)
     dups = (
