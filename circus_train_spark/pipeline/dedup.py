@@ -115,6 +115,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     id_col: str = "doc_id",
     max_bucket: int = 1000,
+    _caches: list | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join, emit candidate (a, b) pairs once.
 
@@ -122,6 +123,12 @@ def lsh_candidate_pairs(
     band match — the classic (r, b) S-curve. Buckets larger than
     ``max_bucket`` are dropped (boilerplate/empty-doc clusters) to bound the
     in-bucket quadratic join.
+
+    Cache lifecycle: two intermediates are persisted (see comments below).
+    Direct callers own them — unpersist after materializing the pairs, or
+    pass ``_caches`` (a list) to receive the cached DataFrames and release
+    them yourself; ``minhash_dedup`` does exactly that so repeated dedup
+    calls in a long-lived session don't accumulate cached partitions.
     """
     r = num_hashes // bands
     # Materialize (id, minhash) BEFORE banding: the band/bucket expressions
@@ -133,6 +140,8 @@ def lsh_candidate_pairs(
     # one evaluation per row; the banded rows below are persisted too so
     # the bucket-size window and both self-join sides share one pass.
     with_sig = with_sig.select(id_col, "minhash").persist()
+    if _caches is not None:
+        _caches.append(with_sig)
     banded = with_sig.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -158,6 +167,8 @@ def lsh_candidate_pairs(
         .filter(F.col("_n") <= max_bucket)
         .persist()
     )
+    if _caches is not None:
+        _caches.append(sized)
     a = sized.alias("a")
     b = sized.alias("b")
     pairs = (
@@ -212,19 +223,28 @@ def minhash_dedup(
     # shingle array); its parallelism is whatever the source scan gives.
     # Few-large-files inputs (or a small unioned test corpus) arrive in a
     # handful of splits and would compute the signature on that many cores
-    # — spread them first. At real scale maxPartitionBytes already yields
-    # >= defaultParallelism splits and this is a no-op (no shuffle).
+    # — spread them first. The probe is the DataFrame's backing file list
+    # (public API, no RDD conversion on the hot path); at real scale
+    # maxPartitionBytes already yields >= defaultParallelism splits and the
+    # repartition never fires (no shuffle).
     sc = documents.sparkSession.sparkContext
-    if documents.rdd.getNumPartitions() < sc.defaultParallelism:
+    n_files = len(documents.inputFiles())
+    if 0 < n_files < sc.defaultParallelism:
         documents = documents.repartition(sc.defaultParallelism)
     sig = with_minhash(documents, text_col, num_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sig, num_hashes, bands)
+    caches: list[DataFrame] = []
+    cands = lsh_candidate_pairs(sig, num_hashes, bands, _caches=caches)
     dups = (
         jaccard_pairs(documents, cands, text_col, shingle_n)
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
+        # eager-materialize the (small) drop-set so the LSH caches can be
+        # released before this function returns
+        .localCheckpoint(eager=True)
     )
+    for c in caches:
+        c.unpersist()
     return documents.join(dups, "doc_id", "left_anti")
 
 

@@ -5,9 +5,10 @@ decode / feature-extraction / resize / frame-sampling run as Arrow-batched
 ``mapInPandas`` stages. The decoders themselves are STUBBED in this
 environment (no image/audio libs in the container) behind
 ``DeterministicFakeDecoder`` (seeded, content-derived — fully testable) and
-``LibraryDecoder`` (raises NotImplementedError until Pillow/librosa exist on
-the cluster). The Spark-side contract — schemas, batch iteration,
-partitioning, UDF signatures — is real and tested.
+``LibraryDecoder`` (uses Pillow/soundfile when importable on the cluster,
+falling back to the deterministic decoder otherwise). The Spark-side
+contract — schemas, batch iteration, partitioning, UDF signatures — is real
+and tested.
 """
 
 from __future__ import annotations

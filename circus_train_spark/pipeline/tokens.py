@@ -30,6 +30,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _chunk_div(named_col: str, offset_terms: str, den: int) -> Column:
+    """``(named_col + offset_terms) div den`` — SQL integer division, all
+    LONG arithmetic. ``F.floor(col / n)`` goes through a double and loses
+    integer precision past 2^53 — real exposure here: a per-source running
+    token offset at the module's stated 10^12-sequence posture exceeds 2^53
+    tokens. Operands are non-negative, so ``div`` == floor division."""
+    return F.expr(f"({named_col}{offset_terms}) div {den}")
+
+
 def pack_plan(
     tokens_df: DataFrame,
     max_len: int = 2048,
@@ -65,8 +74,17 @@ def pack_plan(
         id_col,
         F.col(len_col).cast("long").alias(len_col),
         off.alias("pack_offset"),
-        F.floor(off / max_len).alias("chunk_first"),
-        F.floor((off + F.col(len_col) - 1) / max_len).alias("chunk_last"),
+    ).select(
+        source_col,
+        "shard",
+        id_col,
+        len_col,
+        "pack_offset",
+        _chunk_div("pack_offset", "", max_len).alias("chunk_first"),
+        # for n_tok = 0 this is (off-1) div max_len < chunk_first — an empty
+        # span; consumers (chunk_manifest / assemble_chunks) filter such
+        # documents out before exploding the span
+        _chunk_div("pack_offset", f" + {len_col} - 1", max_len).alias("chunk_last"),
     )
 
 
@@ -89,6 +107,10 @@ def chunk_manifest(
     rows (metadata-width), never token arrays.
     """
     plan = pack_plan(tokens_df, max_len, shard_col, source_col, id_col, len_col)
+    # zero-length documents span no chunk: without this filter F.sequence
+    # (chunk_first, chunk_last) with chunk_last < chunk_first would generate
+    # a DESCENDING two-element sequence and emit phantom span rows
+    plan = plan.filter(F.col(len_col) > 0)
     spans = plan.select(
         source_col,
         "shard",
@@ -149,8 +171,16 @@ def assemble_chunks(
         F.col(tokens_col).alias("_toks"),
         F.col(len_col).cast("long").alias("_n"),
         off.alias("_off"),
-        F.floor(off / max_len).alias("_c0"),
-        F.floor((off + F.col(len_col) - 1) / max_len).alias("_c1"),
+    ).filter(  # zero-length docs span no chunk (see chunk_manifest)
+        F.col("_n") > 0
+    ).select(
+        source_col,
+        "shard",
+        "_toks",
+        "_n",
+        "_off",
+        _chunk_div("_off", "", max_len).alias("_c0"),
+        _chunk_div("_off", " + _n - 1", max_len).alias("_c1"),
     )
     spans = base.select(
         source_col,

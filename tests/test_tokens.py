@@ -85,3 +85,34 @@ def test_length_histogram(spark):
     h = {r["bucket_lo"]: r for r in length_histogram(_tiny(spark), width=4).collect()}
     assert h[0]["n_docs"] == 2 and h[0]["n_tokens"] == 5  # lens 3, 2
     assert h[4]["n_docs"] == 2 and h[4]["min_len"] == 4 and h[4]["max_len"] == 5
+
+
+def test_zero_length_docs_span_no_chunk(spark):
+    # n_tok = 0 must contribute nothing: no phantom span rows (a descending
+    # F.sequence from chunk_first to chunk_last < chunk_first), no bogus
+    # chunk ids, no effect on the packed streams
+    from circus_train_spark.pipeline.tokens import assemble_chunks
+
+    rows = [
+        ("doc-0", [], 0, "a"),            # empty doc at stream head
+        ("doc-1", [1, 2, 3], 3, "a"),
+        ("doc-2", [], 0, "a"),            # empty doc mid-stream
+        ("doc-3", [4] * 5, 5, "a"),
+        ("doc-4", [], 0, "b"),            # source with ONLY an empty doc
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    man = chunk_manifest(df, max_len=4)
+    by = {(r["source"], r["chunk_id"]): r for r in man.collect()}
+    assert set(by) == {("a", 0), ("a", 1)}  # no chunk for source b, no -1 ids
+    assert by[("a", 0)]["n_docs"] == 2 and by[("a", 0)]["n_tokens"] == 4
+    assert by[("a", 1)]["n_docs"] == 1 and by[("a", 1)]["n_tokens"] == 4
+    assert man.agg(F.sum("n_tokens")).first()[0] == 8
+    out = {
+        r["chunk_id"]: list(r["packed"])
+        for r in assemble_chunks(df, max_len=4).collect()
+    }
+    assert out == {0: [1, 2, 3, 4], 1: [4, 4, 4, 4]}
+    # the plan itself still carries one row per document (incl. empty ones)
+    assert pack_plan(df, max_len=4).count() == 5

@@ -21,7 +21,7 @@ documented in circus_train_spark/pipeline/dedup.py:
 - normalize  = lower(trim(text)) with runs of whitespace collapsed
 - shingles   = distinct word 3-grams (whole text if < 3 words)
 - minhash_i  = min over shingles of xxh64_int(i, seed=xxh64(shingle))
-- LSH        = 8 bands × 4 rows, bucket = xxh64(csv of band slice),
+- LSH        = 4 bands × 4 rows, bucket = xxh64(csv of band slice),
                buckets > 1000 dropped, pairs verified by exact Jaccard ≥ 0.8,
                higher doc_id of each matched pair removed
 - simhash    = 64-bit majority vote over per-word xxh64 bits (ties → 1)
@@ -48,8 +48,12 @@ _P3 = np.uint64(0x165667B19E3779F9)
 _P4 = np.uint64(0x85EBCA77C2B2AE63)
 _P5 = np.uint64(0x27D4EB2F165667C5)
 
-NUM_HASHES = 32
-BANDS = 8
+# entry-layer minhash config (the library default stays 32/8; the driver
+# query runs 16 families x 4 bands — same rows-per-band r=4, so the same
+# S-curve steepness at half the signature CPU; see __spark_entry__
+# q_minhash_lsh_dedup)
+NUM_HASHES = 16
+BANDS = 4
 SHINGLE_N = 3
 MAX_BUCKET = 1000
 THRESHOLD = 0.8
@@ -95,9 +99,9 @@ def xxh64_int_v(value: int, seeds: np.ndarray) -> np.ndarray:
 
 
 def minhash_matrix(texts: list[str]) -> tuple[list[list[int]], list[set[str]]]:
-    """Per-doc (32-long signature, distinct-shingle set).
+    """Per-doc (NUM_HASHES-long signature, distinct-shingle set).
 
-    String hashing is cached per distinct shingle; the 32 chained family
+    String hashing is cached per distinct shingle; the chained family
     hashes are one vectorized numpy pass per shingle.
     """
     shingle_sets = [shingles(t) for t in texts]
