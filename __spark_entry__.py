@@ -397,6 +397,50 @@ WHERE NOT (source IN ('src3', 'src7') OR (n_chars % 121) + 8 > 100)
 """
 
 
+def q_tml_delete_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE: equality-delete key files instead of rewrites.
+
+    A 1-row delete must rewrite and drop ZERO data files (the write-
+    amplification contract — a copy-on-write 1-row delete rewrites a whole
+    target-size file); a predicate delete then stacks a second pending
+    delete file. Scans anti-join the (broadcast) keys against only the
+    targeted files; compaction physically applies the keys and purges the
+    delete files; the scan is byte-identical before and after compaction.
+    Reference analogue: deferring physical deletion past the logical commit
+    (core/replica/HousekeepingCleanupLocationManager.java:56-92)."""
+    from circus_train_spark.functions.digest import table_digest
+    from circus_train_spark.operators.compact import compact
+    from circus_train_spark.operators.delete import delete_where
+
+    table = _fresh_table(spark, sf_dir)
+    # 1-row delete: zero write amplification
+    res1 = delete_where(table, "doc_id = 'doc-00000005'", mode="mor", verify=False)
+    assert res1.rows_deleted == 1
+    assert res1.files_rewritten == 0 and res1.files_dropped == 0
+    assert res1.delete_files_written == 1
+    # predicate delete: second pending delete file, still no rewrites
+    res2 = delete_where(table, "n_tok % 7 = 3", mode="mor", verify=False)
+    assert res2.files_rewritten == 0 and res2.delete_files_written == 1
+    assert len(table.delete_entries()) == 2
+    before = table_digest(table.scan())
+    compact(table, target_file_bytes=256 * 1024 * 1024)
+    assert table.delete_entries() == [], "compaction must purge delete files"
+    assert table_digest(table.scan()) == before, "scan changed across purge"
+    return _scan_summary(table.scan())
+
+
+_TML_DELETE_MOR_SQL = """
+SELECT printf('doc-%08d', doc_id) AS doc_id,
+       source,
+       CAST((n_chars % 121) + 8 AS BIGINT) AS n_tok,
+       CAST(list_sum([ (doc_id*2654435761 + i*2246822519) % 50257
+                       for i in generate_series(1, (n_chars % 121) + 8) ])
+            AS BIGINT) AS tok_sum
+FROM documents
+WHERE doc_id <> 5 AND NOT ((n_chars % 121) + 8) % 7 = 3
+"""
+
+
 def q_tml_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE ... SET ... WHERE: only matched files are rewritten, the SET
     expression reads the pre-update row."""
@@ -1771,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tml_wap_publish_scan": q_tml_wap_publish_scan,
         "tml_branch_scan": q_tml_branch_scan,
         "tml_delete_scan": q_tml_delete_scan,
+        "tml_delete_mor_scan": q_tml_delete_mor_scan,
         "tml_update_scan": q_tml_update_scan,
         "dynamic_filter_scan": q_dynamic_filter_scan,
         # diff + replication (the reference's core pipeline)
@@ -1843,6 +1888,7 @@ def oracle_sql() -> dict[str, str]:
         "tml_wap_publish_scan": tok_identity,
         "tml_branch_scan": tok_identity,
         "tml_delete_scan": _TML_DELETE_SQL,
+        "tml_delete_mor_scan": _TML_DELETE_MOR_SQL,
         "tml_update_scan": _TML_UPDATE_SQL,
         "dynamic_filter_scan": _DYNAMIC_FILTER_SQL,
         "pii_scrub": _PII_SQL,

@@ -71,6 +71,24 @@ _ARROW_MANIFEST_SCHEMA = pa.schema(
     ]
 )
 
+# Merge-on-read equality deletes (Iceberg delete-file analogue): one entry
+# per delete file; ``file_path`` is a parquet of deleted ``doc_id`` keys and
+# ``targets`` names the data files the keys apply to (the partially-matched
+# files at delete time). Scoping by target file is what makes a later
+# re-insert of a deleted key safe — the new row lands in a new data file
+# that no delete entry targets, the positional analogue of Iceberg's
+# sequence-number rule. Reference analogue: deferring the expensive physical
+# work past the logical commit, as Circus Train's deferred deletion does
+# (core/replica/HousekeepingCleanupLocationManager.java:56-92).
+_ARROW_DELETE_MANIFEST_SCHEMA = pa.schema(
+    [
+        pa.field("file_path", pa.string(), False),
+        pa.field("n_keys", pa.int64(), False),
+        pa.field("targets", pa.list_(pa.string()), False),
+        pa.field("added_snapshot_id", pa.int64(), False),
+    ]
+)
+
 
 def _strip_uri(p: str) -> str:
     if p.startswith("file:"):
@@ -301,6 +319,114 @@ class TokenTable:
         pq.write_table(table, path)
         return path
 
+    # ------------------------------------------------- merge-on-read deletes
+    def delete_manifests(self, snapshot_id: int | None = None) -> list[str]:
+        """Delete-manifest paths carried by a snapshot (empty when no
+        merge-on-read deletes are pending)."""
+        return list(self.snapshot(snapshot_id).summary.get("delete_manifests", []))
+
+    def delete_entries(self, snapshot_id: int | None = None) -> list[dict]:
+        """Live equality-delete entries for a snapshot:
+        ``{file_path, n_keys, targets, added_snapshot_id}`` dicts. Small by
+        construction (MOR is chosen only for low-touch deletes; compaction
+        purges entries), so a driver-side list like ``manifest_entries``."""
+        out: list[dict] = []
+        for m in self.delete_manifests(snapshot_id):
+            out.extend(pq.read_table(m).to_pylist())
+        return out
+
+    def write_delete_manifest(self, entries: list[dict]) -> str:
+        path = os.path.join(
+            self.manifest_dir, f"delete-manifest-{uuid.uuid4().hex}.parquet"
+        )
+        cols = {
+            f.name: [e.get(f.name) for e in entries]
+            for f in _ARROW_DELETE_MANIFEST_SCHEMA
+        }
+        pq.write_table(pa.table(cols, schema=_ARROW_DELETE_MANIFEST_SCHEMA), path)
+        return path
+
+    def _apply_deletes(
+        self, df: DataFrame, paths: list[str], snapshot_id: int | None
+    ) -> DataFrame:
+        """No-op unless some scanned file is targeted by a pending equality
+        delete. The targeted files are re-read separately, anti-joined on
+        ``doc_id`` against the (small, broadcast) union of applicable delete
+        keys, and unioned with the untargeted remainder — deleted keys never
+        suppress re-inserted rows because those live in untargeted files."""
+        entries = self.delete_entries(snapshot_id)
+        if not entries:
+            return df
+        pset = set(paths)
+        targeted: set[str] = set()
+        key_files: list[str] = []
+        for e in entries:
+            hit = pset.intersection(e["targets"])
+            if hit:
+                targeted.update(hit)
+                key_files.append(e["file_path"])
+        if not targeted:
+            return df
+        schema = df.schema
+        clean = [p for p in paths if p not in targeted]
+        keys = self.spark.read.parquet(*key_files).select("doc_id")
+        dirty = (
+            self.spark.read.schema(schema)
+            .parquet(*sorted(targeted))
+            .join(F.broadcast(keys), "doc_id", "left_anti")
+        )
+        if not clean:
+            return dirty
+        return self.spark.read.schema(schema).parquet(*clean).unionByName(dirty)
+
+    def scan_tagged(
+        self,
+        files: list[str],
+        snapshot_id: int | None = None,
+        file_col: str = "_file",
+    ) -> DataFrame:
+        """``scan(files=...)`` plus the physical file each row came from,
+        with pending MOR deletes applied. ``input_file_name()`` cannot span
+        a union/join of sources, so the tag is attached per single-source
+        read *before* deletes are anti-joined — this is what DELETE/MERGE
+        classification probes use."""
+        schema = self.data_schema(snapshot_id)
+        if not files:
+            import pyspark.sql.types as T
+
+            return self.spark.createDataFrame(
+                [], T.StructType(schema.fields + [T.StructField(file_col, T.StringType())])
+            )
+        entries = self.delete_entries(snapshot_id)
+        pset = set(files)
+        targeted: set[str] = set()
+        key_files: list[str] = []
+        for e in entries:
+            hit = pset.intersection(e["targets"])
+            if hit:
+                targeted.update(hit)
+                key_files.append(e["file_path"])
+        clean = [p for p in files if p not in targeted]
+        parts = []
+        if clean:
+            parts.append(
+                self.spark.read.schema(schema)
+                .parquet(*clean)
+                .withColumn(file_col, F.input_file_name())
+            )
+        if targeted:
+            keys = self.spark.read.parquet(*key_files).select("doc_id")
+            parts.append(
+                self.spark.read.schema(schema)
+                .parquet(*sorted(targeted))
+                .withColumn(file_col, F.input_file_name())
+                .join(F.broadcast(keys), "doc_id", "left_anti")
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
     # ---------------------------------------------------------------- scans
     def select_partitions(
         self,
@@ -389,7 +515,10 @@ class TokenTable:
         # old files reconcile against the current schema in the reader:
         # missing columns -> null, int->long / float->double widened,
         # removed columns pruned (see meta.schema.check_evolution)
-        return self.spark.read.schema(schema).parquet(*paths)
+        df = self.spark.read.schema(schema).parquet(*paths)
+        # merge-on-read: anti-join pending equality-delete keys against the
+        # files they target (no-op when no delete files are live)
+        return self._apply_deletes(df, paths, snapshot_id)
 
     # --------------------------------------------------------------- writes
     def _stage_dir(self, event_id: str) -> str:
@@ -586,6 +715,7 @@ class TokenTable:
         operation: str,
         added: list[dict] | None = None,
         removed_paths: set[str] | None = None,
+        added_deletes: list[dict] | None = None,
         summary: dict | None = None,
         expected_parent_id: int | None = None,
         event_id: str | None = None,
@@ -606,6 +736,12 @@ class TokenTable:
         re-plan. Reference analogue: per-table failure-isolated metastore
         upserts (``core/replica/Replica.java:210-267``,
         ``core/Locomotive.java:107-126``).
+
+        Merge-on-read deletes: the parent's pending delete entries are
+        carried forward with their target lists shrunk by this commit's
+        ``removed_paths``; entries left with no live target are purged
+        (their key files become orphans for housekeeping). ``added_deletes``
+        appends new entries (``delete_where(mode="mor")``).
         """
         event_id = event_id or new_event_id()
         if branch == "main":
@@ -633,6 +769,7 @@ class TokenTable:
                 parent=parent,
                 added=added,
                 removed_paths=removed_paths,
+                added_deletes=added_deletes or [],
                 summary=summary,
                 event_id=event_id,
                 branch=branch,
@@ -671,6 +808,7 @@ class TokenTable:
         removed_paths: set[str],
         summary: dict | None,
         event_id: str,
+        added_deletes: list[dict] | None = None,
         branch: str = "main",
         stage_only: bool = False,
     ) -> "Snapshot | CommitConflictError":
@@ -689,6 +827,29 @@ class TokenTable:
             added_manifest = self.write_manifest(stamped)
             manifests.append(added_manifest)
         summary = dict(summary or {})
+        # merge-on-read delete state: carry forward / shrink / purge / append
+        parent_dms = list(parent.summary.get("delete_manifests", []))
+        delete_manifests = parent_dms
+        if parent_dms or added_deletes:
+            survivors: list[dict] = []
+            changed = False
+            for e in (x for m in parent_dms for x in pq.read_table(m).to_pylist()):
+                live_targets = [t for t in e["targets"] if t not in removed_paths]
+                if len(live_targets) != len(e["targets"]):
+                    changed = True
+                    if not live_targets:
+                        continue  # purged: every targeted file left the table
+                    e = {**e, "targets": live_targets}
+                survivors.append(e)
+            for e in added_deletes or []:
+                changed = True
+                survivors.append({**e, "added_snapshot_id": new_sid})
+            if changed:
+                delete_manifests = (
+                    [self.write_delete_manifest(survivors)] if survivors else []
+                )
+        if delete_manifests:
+            summary["delete_manifests"] = delete_manifests
         if stage_only:
             # record the delta so publish() can cherry-pick onto a moved head
             if added_manifest:
@@ -803,10 +964,42 @@ class TokenTable:
                 schema = T.StructType(
                     [T.StructField(S.ROW_HASH_COL, T.LongType(), True)]
                 )
+                hashes = self.spark.read.schema(schema).parquet(*paths)
+                entries = self.delete_entries(snapshot_id)
+                if entries:
+                    # pending MOR deletes: targeted files contribute only
+                    # their surviving rows — re-read them with doc_id for
+                    # the anti-join, still no token decode
+                    pset = set(paths)
+                    targeted: set[str] = set()
+                    key_files: list[str] = []
+                    for e in entries:
+                        hit = pset.intersection(e["targets"])
+                        if hit:
+                            targeted.update(hit)
+                            key_files.append(e["file_path"])
+                    if targeted:
+                        clean = [p for p in paths if p not in targeted]
+                        keys = self.spark.read.parquet(*key_files).select("doc_id")
+                        two = T.StructType(
+                            [
+                                T.StructField("doc_id", T.StringType(), True),
+                                T.StructField(S.ROW_HASH_COL, T.LongType(), True),
+                            ]
+                        )
+                        dirty = (
+                            self.spark.read.schema(two)
+                            .parquet(*sorted(targeted))
+                            .join(F.broadcast(keys), "doc_id", "left_anti")
+                            .select(S.ROW_HASH_COL)
+                        )
+                        hashes = (
+                            self.spark.read.schema(schema).parquet(*clean).unionByName(dirty)
+                            if clean
+                            else dirty
+                        )
                 row = (
-                    self.spark.read.schema(schema)
-                    .parquet(*paths)
-                    .agg(
+                    hashes.agg(
                         F.count(S.ROW_HASH_COL).alias("n_hashed"),
                         *digest_agg(S.ROW_HASH_COL),
                     )

@@ -71,23 +71,27 @@ def plan_compaction_groups(
     target_bytes: int,
     small_file_threshold: int | None = None,
     min_group_files: int = 2,
+    force_files: set[str] | None = None,
 ) -> list[FileGroup]:
     """Per-partition FFD over manifest entries.
 
     Candidates are files smaller than ``small_file_threshold`` (default:
     target_bytes). Groups with fewer than ``min_group_files`` members are
-    dropped — rewriting a single file buys nothing.
-    """
+    dropped — rewriting a single file buys nothing — UNLESS the group holds
+    a ``force_files`` member: those must be rewritten regardless of size
+    (compaction uses this to rewrite files targeted by pending merge-on-read
+    delete files, purging the deletes)."""
     threshold = small_file_threshold or target_bytes
+    forced = force_files or set()
     by_part: dict[str | None, list[tuple[str, int, int]]] = {}
     for e in entries:
-        if e["file_size"] < threshold:
+        if e["file_size"] < threshold or e["file_path"] in forced:
             by_part.setdefault(e["partition"], []).append(
                 (e["file_path"], e["file_size"], e["n_rows"])
             )
     groups: list[FileGroup] = []
     for part in sorted(by_part, key=lambda p: (p is None, p)):
         for g in first_fit_decreasing(by_part[part], target_bytes, partition=part):
-            if len(g.files) >= min_group_files:
+            if len(g.files) >= min_group_files or any(f in forced for f in g.files):
                 groups.append(g)
     return groups

@@ -110,17 +110,37 @@ def _derive_group_entry(group: FileGroup, in_entries: list[dict], out_path: str)
 
 
 def _rewrite_group(
-    table: TokenTable, group: FileGroup, entry_by_path: dict[str, dict], event_id: str
+    table: TokenTable,
+    group: FileGroup,
+    entry_by_path: dict[str, dict],
+    event_id: str,
+    delete_targets: set[str] | None = None,
+    delete_key_files: list[str] | None = None,
 ) -> tuple[FileGroup, list[dict], float]:
     """Read the group's files and write them back as one file. Runs in a
-    driver worker thread; the heavy lifting is one single-task Spark job."""
+    driver worker thread; the heavy lifting is one single-task Spark job.
+
+    Files targeted by pending merge-on-read delete files have their deleted
+    keys anti-joined away during the rewrite (that is what *purges* the
+    delete file); untargeted group members are read verbatim so a
+    re-inserted key is never suppressed."""
     t0 = time.monotonic()
     out_dir = os.path.join(table.data_dir, event_id, f"g-{group.group_id}")
-    df = (
-        table.spark.read.schema(_rewrite_schema(table))
-        .parquet(*group.files)
-        .withColumn(S.WRITE_PART_COL, F.col("source"))
-    )
+    schema = _rewrite_schema(table)
+    targeted = sorted(set(group.files) & (delete_targets or set()))
+    clean = [p for p in group.files if p not in set(targeted)]
+    if targeted:
+        keys = table.spark.read.parquet(*delete_key_files).select("doc_id")
+        df = (
+            table.spark.read.schema(schema)
+            .parquet(*targeted)
+            .join(F.broadcast(keys), "doc_id", "left_anti")
+        )
+        if clean:
+            df = table.spark.read.schema(schema).parquet(*clean).unionByName(df)
+    else:
+        df = table.spark.read.schema(schema).parquet(*group.files)
+    df = df.withColumn(S.WRITE_PART_COL, F.col("source"))
     from circus_train_spark.meta.writers import WriteRequest, writer_for
 
     writer_for(out_dir).write(
@@ -135,9 +155,13 @@ def _rewrite_group(
     )
     out_files = table._walk_parquet(out_dir)
     in_entries = [entry_by_path[p] for p in group.files]
-    if len(out_files) == 1 and all(e["xor_digest"] is not None for e in in_entries):
+    if (
+        len(out_files) == 1
+        and not targeted  # delete application changes rows: stats must be measured
+        and all(e["xor_digest"] is not None for e in in_entries)
+    ):
         entries = [_derive_group_entry(group, in_entries, out_files[0])]
-    else:  # multi-partition group or foreign inputs: measure from data
+    else:  # multi-partition group, foreign inputs, or applied deletes
         entries = table.collect_entries_for_files(out_files, zkey=True)
     return group, entries, time.monotonic() - t0
 
@@ -160,8 +184,20 @@ def compact(
     if partitions is not None:
         keep = set(partitions)
         entries = [e for e in entries if e["partition"] in keep]
+    # pending merge-on-read deletes: their target files are forced into the
+    # plan (regardless of size) so this compaction physically applies and
+    # purges the delete files
+    del_entries = table.delete_entries(base.snapshot_id)
+    delete_targets: set[str] = set()
+    delete_key_files: list[str] = []
+    for de in del_entries:
+        delete_targets.update(de["targets"])
+        delete_key_files.append(de["file_path"])
     groups = plan_compaction_groups(
-        entries, target_file_bytes, small_file_threshold=small_file_threshold
+        entries,
+        target_file_bytes,
+        small_file_threshold=small_file_threshold,
+        force_files=delete_targets or None,
     )
     if max_groups is not None:
         groups = groups[:max_groups]
@@ -188,7 +224,15 @@ def compact(
     rows_total = 0
     with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
         futures = [
-            pool.submit(_rewrite_group, table, g, entry_by_path, event_id)
+            pool.submit(
+                _rewrite_group,
+                table,
+                g,
+                entry_by_path,
+                event_id,
+                delete_targets,
+                delete_key_files,
+            )
             for g in todo
         ]
         for fut in futures:

@@ -32,9 +32,12 @@ is the same copy-on-write minimality contract as ``operators/merge.py``.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
 from circus_train_spark.ids import new_event_id
@@ -54,6 +57,7 @@ class DeleteResult:
     files_untouched: int
     files_pruned: int        # skipped via manifest min/max before any read
     duration_s: float
+    delete_files_written: int = 0  # merge-on-read: equality-delete key files
 
 
 @dataclass
@@ -84,9 +88,9 @@ def _classify(table: TokenTable, base, predicate: str, doc_id_range, n_tok_range
     matched: dict[str, int] = {}
     if paths:
         rows = (
-            table.scan(files=paths)
+            table.scan_tagged(paths)
             .filter(F.expr(predicate))
-            .groupBy(F.input_file_name().alias("_file"))
+            .groupBy("_file")
             .agg(F.count(F.lit(1)).alias("m"))
             .collect()
         )
@@ -100,9 +104,32 @@ def delete_where(
     *,
     doc_id_range: tuple[str, str] | None = None,
     n_tok_range: tuple[int, int] | None = None,
+    mode: str = "cow",
+    mor_max_fraction: float = 0.05,
     verify: bool = True,
     run_id: str | None = None,
 ) -> DeleteResult:
+    """``mode``:
+
+    - ``"cow"`` — copy-on-write (default): partially-matched files are
+      rewritten without the matching rows.
+    - ``"mor"`` — merge-on-read: instead of rewriting, the matched keys are
+      written to a small equality-delete file targeting the partially-
+      matched data files; scans anti-join it away and compaction purges it.
+      A 1-row delete then rewrites ZERO data files — the write-amplification
+      cure for frequent small deletes at 100 TB (a 1-row copy-on-write
+      delete rewrites a whole ~512 MB file). Fully-matched files are still
+      dropped metadata-only in both modes.
+    - ``"auto"`` — ``mor`` when the matched fraction of the partially-
+      matched files' rows is below ``mor_max_fraction``, else ``cow``
+      (don't accumulate huge delete files a scan must then anti-join).
+
+    While MOR deletes are pending, manifest ``n_rows``/``table_stats`` count
+    physical rows (pre-delete), as in any merge-on-read format; ``scan`` and
+    ``table_digest`` reflect the logical table.
+    """
+    if mode not in ("cow", "mor", "auto"):
+        raise ValueError(f"unknown delete mode {mode!r}")
     t0 = time.monotonic()
     event_id = run_id or new_event_id()
     base = table.current_snapshot()
@@ -120,15 +147,46 @@ def delete_where(
             time.monotonic() - t0,
         )
 
+    use_mor = False
+    if partial and mode != "cow":
+        if mode == "mor":
+            use_mor = True
+        else:
+            part_rows = sum(rows_by_file[f] for f in partial)
+            part_matched = sum(matched[f] for f in partial)
+            use_mor = part_matched <= mor_max_fraction * part_rows
+
     added: list[dict] = []
-    if partial:
+    added_deletes: list[dict] = []
+    if partial and use_mor:
+        # equality-delete file: ONLY the matched keys (8-40 B/row), scoped
+        # to the files they live in. scan()'s anti-join sees a broadcast of
+        # these keys; no data file is read or rewritten here beyond the
+        # key projection.
+        key_dir = os.path.join(table.data_dir, event_id, "deletes")
+        os.makedirs(key_dir, exist_ok=True)
+        key_path = os.path.join(key_dir, f"eq-delete-{event_id}.parquet")
+        pred = F.expr(predicate)
+        keys = (
+            table.scan(files=partial)
+            .filter(pred)
+            .select("doc_id")
+            .toPandas()  # matched keys are small by MOR choice
+        )
+        pq.write_table(
+            pa.table({"doc_id": keys["doc_id"].astype(str).tolist()}), key_path
+        )
+        added_deletes = [
+            {"file_path": key_path, "n_keys": int(len(keys)), "targets": partial}
+        ]
+    elif partial:
         pred = F.expr(predicate)
         survivors = table.scan(files=partial).filter(~pred | F.isnull(pred))
         added = table.write_data_files(
             survivors, event_id, num_files=None, sub_dir="deleted", shuffle=False
         )
 
-    removed = set(dropped) | set(partial)
+    removed = set(dropped) | (set() if use_mor else set(partial))
     table.lineage.append(
         LineageRecord(
             run_id=event_id,
@@ -136,7 +194,8 @@ def delete_where(
             group_id=event_id,
             partition=None,
             files_in=sorted(removed),
-            files_out=[e["file_path"] for e in added],
+            files_out=[e["file_path"] for e in added]
+            + [e["file_path"] for e in added_deletes],
             rows=rows_deleted,
             bytes_in=sum(e["file_size"] for e in entries if e["file_path"] in removed),
             bytes_out=sum(e["file_size"] for e in added),
@@ -148,11 +207,14 @@ def delete_where(
         operation=OP_DELETE,
         added=added,
         removed_paths=removed,
+        added_deletes=added_deletes,
         summary={
             "predicate": predicate,
+            "mode": "mor" if use_mor else "cow",
             "rows_deleted": rows_deleted,
             "files_dropped_metadata_only": len(dropped),
-            "files_rewritten": len(partial),
+            "files_rewritten": 0 if use_mor else len(partial),
+            "delete_files_written": len(added_deletes),
             "files_pruned_by_stats": n_pruned,
         },
         expected_parent_id=base.snapshot_id,
@@ -163,15 +225,31 @@ def delete_where(
         assert post.filter(F.expr(predicate)).count() == 0, "matching rows survived"
         n_before = sum(rows_by_file.values())
         n_after = sum(e["n_rows"] for e in table.manifest_entries(snap.snapshot_id))
-        assert n_after == n_before - rows_deleted, "row accounting mismatch"
+        # manifest rows are PHYSICAL: MOR leaves deleted rows in place until
+        # compaction (the logical scan above is the correctness check), and
+        # a COW rewrite of a file carrying PRIOR pending MOR deletes also
+        # drops those rows physically — strict matched-row accounting only
+        # holds when neither effect is in play
+        prior_pending = any(
+            set(e["targets"]) & removed
+            for e in table.delete_entries(base.snapshot_id)
+        )
+        removed_physical = sum(rows_by_file[f] for f in removed)
+        added_rows = sum(e["n_rows"] for e in added)
+        assert n_after == n_before - removed_physical + added_rows, (
+            "physical row accounting mismatch"
+        )
+        if not use_mor and not prior_pending:
+            assert n_after == n_before - rows_deleted, "row accounting mismatch"
     return DeleteResult(
         snapshot_id=snap.snapshot_id,
         rows_deleted=rows_deleted,
         files_dropped=len(dropped),
-        files_rewritten=len(partial),
-        files_untouched=len(paths) - len(dropped) - len(partial),
+        files_rewritten=0 if use_mor else len(partial),
+        files_untouched=len(paths) - len(dropped) - (0 if use_mor else len(partial)),
         files_pruned=n_pruned,
         duration_s=time.monotonic() - t0,
+        delete_files_written=len(added_deletes),
     )
 
 

@@ -77,12 +77,17 @@ def expire_snapshots(
     if not expired:
         return ExpireResult([], sorted(retained), 0, 0, 0, time.monotonic() - t0)
 
+    def _all_manifests(s) -> list[str]:
+        # data manifests + merge-on-read delete manifests; both carry a
+        # ``file_path`` column naming the files they reference
+        return list(s.manifests) + list(s.summary.get("delete_manifests", []))
+
     live_manifests: set[str] = set()
     for sid in retained:
-        live_manifests.update(snaps[sid].manifests)
+        live_manifests.update(_all_manifests(snaps[sid]))
     dead_manifests: set[str] = set()
     for sid in expired:
-        dead_manifests.update(m for m in snaps[sid].manifests if m not in live_manifests)
+        dead_manifests.update(m for m in _all_manifests(snaps[sid]) if m not in live_manifests)
 
     live_files: set[str] = set()
     for m in live_manifests:

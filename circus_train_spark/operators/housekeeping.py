@@ -188,7 +188,12 @@ def _referenced_files(table: TokenTable) -> tuple[set[str], set[str]]:
     manifests: set[str] = set()
     for sid in table.log.all_snapshot_ids():
         snap = table.log.get(sid)
-        for m in snap.manifests:
+        # data manifests + merge-on-read delete manifests; the latter's
+        # file_path column names equality-delete key files (under data/),
+        # which are live for exactly as long as a snapshot references them
+        for m in list(snap.manifests) + list(
+            snap.summary.get("delete_manifests", [])
+        ):
             manifests.add(os.path.abspath(m))
             try:
                 col = pq.read_table(m, columns=["file_path"])["file_path"]

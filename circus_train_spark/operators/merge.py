@@ -204,8 +204,8 @@ def merge_into(
     matched_upserts = 0
     if candidates:
         probe = (
-            table.scan(files=[e["file_path"] for e in candidates])
-            .select("doc_id", F.input_file_name().alias("_file"))
+            table.scan_tagged([e["file_path"] for e in candidates])
+            .select("doc_id", "_file")
             .join(keyside(changes.select("doc_id", "_op")), "doc_id", "inner")
         )
         # per-file grouped aggregate (NOT collect_set into one global row):

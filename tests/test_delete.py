@@ -103,3 +103,110 @@ def test_update_rejects_key_and_unknown_columns(table):
         update_where(table, "true", {"doc_id": "'x'"})
     with pytest.raises(ValueError):
         update_where(table, "true", {"nope": "1"})
+
+
+# ---------------------------------------------------- merge-on-read deletes
+
+
+def test_mor_delete_writes_zero_data_files(table, tokens_df):
+    """The write-amplification contract: a 1-row MOR delete rewrites and
+    drops ZERO data files — it only adds one small equality-delete file."""
+    victim = tokens_df.select("doc_id").orderBy("doc_id").first()["doc_id"]
+    files_before = {e["file_path"] for e in table.manifest_entries()}
+    res = delete_where(table, f"doc_id = '{victim}'", mode="mor")
+    assert res.rows_deleted == 1
+    assert res.files_rewritten == 0
+    assert res.files_dropped == 0
+    assert res.delete_files_written == 1
+    # every data file carried forward byte-identical
+    assert {e["file_path"] for e in table.manifest_entries()} == files_before
+    # logical scan no longer sees the row
+    assert table.scan().filter(F.col("doc_id") == victim).count() == 0
+    assert table.current_snapshot().summary["mode"] == "mor"
+
+
+def test_mor_delete_scan_equals_cow_delete(spark, tmp_path, tokens_df):
+    pred = "n_tok % 13 = 5"
+    t_cow = TokenTable.create(spark, str(tmp_path / "cow"))
+    t_cow.append(tokens_df, num_files=8)
+    t_mor = TokenTable.create(spark, str(tmp_path / "mor"))
+    t_mor.append(tokens_df, num_files=8)
+    delete_where(t_cow, pred, mode="cow")
+    res = delete_where(t_mor, pred, mode="mor")
+    assert res.files_rewritten == 0 and res.delete_files_written == 1
+    assert table_digest(t_mor.scan()) == table_digest(t_cow.scan())
+    # fast digest (hidden row-hash column) agrees with the logical scan
+    assert t_mor.table_digest(fast=True) == t_cow.table_digest(fast=True)
+
+
+def test_mor_auto_mode_picks_by_touched_fraction(table):
+    # a tiny predicate -> mor; a huge one -> cow
+    res_small = delete_where(table, "n_tok = 77", mode="auto")
+    assert res_small.delete_files_written == 1 or res_small.rows_deleted == 0
+    res_big = delete_where(table, "n_tok > 64", mode="auto")
+    if res_big.rows_deleted:
+        assert res_big.delete_files_written == 0  # fell back to copy-on-write
+
+
+def test_compact_applies_and_purges_mor_deletes(spark, tmp_path, tokens_df):
+    from circus_train_spark.operators.compact import compact
+
+    t = TokenTable.create(spark, str(tmp_path / "tbl"))
+    t.append(tokens_df, num_files=8)
+    pred = "n_tok % 11 = 3"
+    expected = table_digest(tokens_df.filter(f"NOT ({pred})"))
+    res = delete_where(t, pred, mode="mor")
+    assert res.delete_files_written == 1
+    assert t.delete_entries(), "delete entry must be pending before compact"
+    assert table_digest(t.scan()) == expected
+    cres = compact(t, target_file_bytes=512 * 1024 * 1024)
+    assert cres.snapshot_id is not None
+    # compaction physically applied the keys and purged the delete file
+    assert t.delete_entries() == []
+    assert "delete_manifests" not in t.current_snapshot().summary
+    assert table_digest(t.scan()) == expected
+    # physical row accounting now matches the logical table
+    n_manifest = sum(e["n_rows"] for e in t.manifest_entries())
+    assert n_manifest == t.scan().count()
+
+
+def test_mor_reinsert_after_delete_survives(spark, tmp_path, tokens_df):
+    """A key re-inserted AFTER its MOR delete must not be suppressed by the
+    pending delete file (target-file scoping = sequence-number rule)."""
+    t = TokenTable.create(spark, str(tmp_path / "tbl"))
+    t.append(tokens_df, num_files=4)
+    row = tokens_df.orderBy("doc_id").limit(1)
+    victim = row.first()["doc_id"]
+    delete_where(t, f"doc_id = '{victim}'", mode="mor")
+    assert t.scan().filter(F.col("doc_id") == victim).count() == 0
+    t.append(row)  # re-insert the same doc_id
+    assert t.scan().filter(F.col("doc_id") == victim).count() == 1
+    # and compaction keeps exactly the re-inserted copy
+    from circus_train_spark.operators.compact import compact
+
+    compact(t, target_file_bytes=512 * 1024 * 1024)
+    assert t.scan().filter(F.col("doc_id") == victim).count() == 1
+
+
+def test_mor_delete_files_tracked_by_housekeeping(spark, tmp_path, tokens_df):
+    """Orphan removal must never reap a live equality-delete key file; after
+    compaction purges it, the key file becomes reclaimable."""
+    import os
+
+    from circus_train_spark.operators.compact import compact
+    from circus_train_spark.operators.expire import expire_snapshots
+    from circus_train_spark.operators.housekeeping import remove_orphan_files
+
+    t = TokenTable.create(spark, str(tmp_path / "tbl"))
+    t.append(tokens_df, num_files=4)
+    delete_where(t, "n_tok % 17 = 2", mode="mor")
+    key_file = t.delete_entries()[0]["file_path"]
+    future = 10**15  # far past any grace period
+    remove_orphan_files(t, now_ms=future)
+    assert os.path.exists(key_file), "live delete key file reaped as orphan"
+    expected = table_digest(t.scan())
+    compact(t, target_file_bytes=512 * 1024 * 1024)
+    expire_snapshots(t, keep_last=1)
+    remove_orphan_files(t, now_ms=future)
+    assert not os.path.exists(key_file), "purged delete key file not reclaimed"
+    assert table_digest(t.scan()) == expected
