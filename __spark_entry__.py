@@ -301,6 +301,89 @@ def _merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upd.unionByName(dele).unionByName(ins)
 
 
+def q_tml_merge_conditional_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / partial-column MERGE — the ANSI clause cascade:
+
+      WHEN MATCHED AND s_n_tok > n_tok THEN UPDATE SET tokens, n_tok
+      WHEN MATCHED AND n_tok % 5 = 0   THEN DELETE
+      WHEN NOT MATCHED                 THEN INSERT
+
+    Source: every 3rd document re-derived with n_tok' = n_tok + (id % 5)
+    and the B2 token generator (so s_n_tok > n_tok exactly when id%5 != 0 —
+    clause 1 and clause 2 both get real row populations), plus every 11th
+    document re-keyed +2,000,000 (always unmatched -> INSERT). The ``source``
+    column is NOT in the SET list — partial-column update. Reference
+    analogue: per-partition create-vs-alter classification
+    (core/replica/Replica.java:177-204) at row granularity."""
+    from circus_train_spark.operators.merge import MergeClause, merge_conditional
+
+    table = _fresh_table(spark, sf_dir)
+    d = _read(spark, sf_dir, "documents")
+    upd_src = d.filter(d.doc_id % 3 == 0)
+    s_ntok = (upd_src.n_chars % 121 + 8 + upd_src.doc_id % 5).cast("int")
+    upd = upd_src.select(
+        F.format_string("doc-%08d", upd_src.doc_id).alias("doc_id"),
+        _token_expr(upd_src.doc_id, s_ntok, _B2).alias("tokens"),
+        s_ntok.alias("n_tok"),
+        "source",
+    )
+    ins_src = d.filter(d.doc_id % 11 == 0).withColumn("new_id", d.doc_id + 2_000_000)
+    ins_ntok = (ins_src.n_chars % 121 + 8).cast("int")
+    ins = ins_src.select(
+        F.format_string("doc-%08d", F.col("new_id")).alias("doc_id"),
+        _token_expr(F.col("new_id"), ins_ntok, _B).alias("tokens"),
+        ins_ntok.alias("n_tok"),
+        "source",
+    )
+    clauses = [
+        MergeClause(
+            "matched",
+            "update",
+            condition="s_n_tok > n_tok",
+            assignments={"tokens": "s_tokens", "n_tok": "s_n_tok"},
+        ),
+        MergeClause("matched", "delete", condition="n_tok % 5 = 0"),
+        MergeClause("not_matched", "insert"),
+    ]
+    res = merge_conditional(
+        table, upd.unionByName(ins), clauses, probe_columns=["n_tok"]
+    )
+    assert res.updated > 0 and res.inserted > 0  # cascade exercised
+    return _scan_summary(table.scan())
+
+
+_TML_MERGE_COND_SQL = """
+WITH kept AS (
+  -- rows untouched by the cascade: unmatched targets, plus matched rows
+  -- where neither clause fires (id%5 = 0 and n_tok%5 <> 0)
+  SELECT printf('doc-%08d', doc_id) AS doc_id, source,
+         CAST((n_chars % 121) + 8 AS BIGINT) AS n_tok,
+         CAST(list_sum([ (doc_id*2654435761 + i*2246822519) % 50257
+                         for i in generate_series(1, (n_chars % 121) + 8) ])
+              AS BIGINT) AS tok_sum
+  FROM documents
+  WHERE NOT (doc_id % 3 = 0
+             AND (doc_id % 5 <> 0 OR ((n_chars % 121) + 8) % 5 = 0))
+), upd AS (
+  -- WHEN MATCHED AND s_n_tok > n_tok: fires iff doc_id % 5 <> 0
+  SELECT printf('doc-%08d', doc_id) AS doc_id, source,
+         CAST((n_chars % 121) + 8 + (doc_id % 5) AS BIGINT) AS n_tok,
+         CAST(list_sum([ (doc_id*2654435761 + i*1779033703) % 50257
+                         for i in generate_series(1, (n_chars % 121) + 8 + (doc_id % 5)) ])
+              AS BIGINT) AS tok_sum
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0
+), ins AS (
+  SELECT printf('doc-%08d', doc_id + 2000000) AS doc_id, source,
+         CAST((n_chars % 121) + 8 AS BIGINT) AS n_tok,
+         CAST(list_sum([ ((doc_id + 2000000)*2654435761 + i*2246822519) % 50257
+                         for i in generate_series(1, (n_chars % 121) + 8) ])
+              AS BIGINT) AS tok_sum
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
+"""
+
+
 def q_tml_rollback_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLBACK: append -> destructive MERGE -> rollback to the pre-merge
     snapshot (one metadata commit, zero data I/O) — the scan must equal the
@@ -1807,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tml_manifest_rewrite_scan": q_tml_manifest_rewrite_scan,
         "tml_schema_evolution_scan": q_tml_schema_evolution_scan,
         "tml_merge_scan": q_tml_merge_scan,
+        "tml_merge_conditional_scan": q_tml_merge_conditional_scan,
         "tml_time_travel_scan": q_tml_time_travel_scan,
         "tml_stream_ingest_scan": q_tml_stream_ingest_scan,
         "tml_housekeeping_scan": q_tml_housekeeping_scan,
@@ -1880,6 +1964,7 @@ def oracle_sql() -> dict[str, str]:
         "tml_manifest_rewrite_scan": tok_identity,
         "tml_schema_evolution_scan": _TML_EVOLUTION_SQL,
         "tml_merge_scan": _TML_MERGE_SQL,
+        "tml_merge_conditional_scan": _TML_MERGE_COND_SQL,
         "tml_time_travel_scan": _TML_TIME_TRAVEL_SQL,
         "tml_stream_ingest_scan": tok_identity,
         "tml_housekeeping_scan": tok_identity,

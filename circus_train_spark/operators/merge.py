@@ -304,6 +304,274 @@ def _strip(p: str) -> str:
     return p
 
 
+# ------------------------------------------------------- conditional MERGE
+#
+# SQL-style clause objects:
+#
+#   WHEN MATCHED [AND <cond>] THEN UPDATE SET col = <expr>, ...
+#   WHEN MATCHED [AND <cond>] THEN DELETE
+#   WHEN NOT MATCHED [AND <cond>] THEN INSERT [(col = <expr>, ...)]
+#
+# Conditions/expressions are Spark SQL over the TARGET row's columns by
+# name plus the SOURCE row's columns as ``s_<col>`` (e.g.
+# ``"s_n_tok > n_tok"``). Clause order is significant: the first clause
+# whose condition holds wins for each row (ANSI MERGE semantics); a
+# matched row matching no clause is left untouched, a source row matching
+# no NOT MATCHED clause is ignored. Reference analogue: the per-partition
+# create-vs-alter classification of ``core/replica/Replica.java:177-204``
+# generalized to row granularity with per-clause predicates.
+
+
+@dataclass
+class MergeClause:
+    when: str                                 # "matched" | "not_matched"
+    action: str                               # "update" | "delete" | "insert"
+    condition: str | None = None              # None = always applies
+    assignments: dict[str, str] | None = None  # update/insert column exprs
+
+    def validate(self, data_cols: list[str]) -> None:
+        if self.when not in ("matched", "not_matched"):
+            raise ValueError(f"bad when: {self.when!r}")
+        allowed = {"matched": ("update", "delete"), "not_matched": ("insert",)}
+        if self.action not in allowed[self.when]:
+            raise ValueError(f"WHEN {self.when} cannot {self.action}")
+        if self.action == "update" and not self.assignments:
+            raise ValueError("UPDATE clause needs assignments")
+        bad = set(self.assignments or {}) - set(data_cols)
+        if bad:
+            raise ValueError(f"unknown columns in SET: {sorted(bad)}")
+
+
+@dataclass
+class MergeConditionalResult:
+    snapshot_id: int | None
+    files_touched: int
+    files_pruned: int
+    files_out: int
+    inserted: int
+    updated: int
+    deleted: int
+    clause_rows: list[int]  # actionable rows per clause, clause order
+    strategy: str
+    duration_s: float
+
+
+def _clause_action_idx(clauses: list[tuple[int, MergeClause]]):
+    """First-matching-clause index as a column cascade; -1 = no clause."""
+    expr = F.lit(-1)
+    for i, c in reversed(clauses):
+        cond = F.lit(True) if c.condition is None else F.expr(c.condition)
+        expr = F.when(cond, F.lit(i)).otherwise(expr)
+    return expr
+
+
+def merge_conditional(
+    table: TokenTable,
+    source: DataFrame,
+    clauses: list[MergeClause],
+    broadcast_threshold_rows: int = 1_000_000,
+    driver_prune_threshold_keys: int = 200_000,
+    probe_columns: list[str] | None = None,
+    run_id: str | None = None,
+) -> MergeConditionalResult:
+    """Copy-on-write conditional MERGE. Plan (scale posture identical to
+    ``merge_into``): stats-prune candidate files by the source key range →
+    ONE probe job over the candidates evaluating the matched-clause cascade
+    (reads ``probe_columns`` when given — pass the condition columns to
+    keep the probe narrow; default reads the full row) → rewrite ONLY files
+    holding an actionable row → append INSERT rows (source anti-join the
+    matched keys) → one atomic commit. Pending merge-on-read deletes are
+    honored throughout (the probe and rewrite read through the delete-aware
+    scan)."""
+    t0 = time.monotonic()
+    event_id = run_id or new_event_id()
+    base = table.current_snapshot()
+    data_cols = [f.name for f in table.data_schema().fields]
+    for c in clauses:
+        c.validate(data_cols)
+    matched_clauses = [
+        (i, c) for i, c in enumerate(clauses) if c.when == "matched"
+    ]
+    insert_clauses = [
+        (i, c) for i, c in enumerate(clauses) if c.when == "not_matched"
+    ]
+
+    srcd = source.select(
+        *[F.col(c).alias(f"s_{c}") for c in data_cols]
+    ).cache()
+    pre = srcd.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("s_doc_id").alias("nd")
+    ).collect()[0]
+    if pre["nd"] != pre["n"]:
+        srcd.unpersist()
+        raise ValueError(
+            f"ambiguous MERGE: {pre['n'] - pre['nd']} duplicate source keys"
+        )
+    n_source = pre["n"]
+    use_broadcast = n_source <= broadcast_threshold_rows
+    strategy = "broadcast" if use_broadcast else "sort_merge"
+
+    def keyside(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if use_broadcast else df
+
+    keys = srcd.select(F.col("s_doc_id").alias("doc_id"))
+
+    # 1. stats-based candidate pruning (same size-adaptive path as merge_into)
+    entries = table.manifest_entries(base.snapshot_id)
+    if n_source <= driver_prune_threshold_keys:
+        sorted_keys = sorted(r["doc_id"] for r in keys.collect())
+        candidates, n_pruned = _prune_by_stats_local(entries, sorted_keys)
+    else:
+        candidates, n_pruned = _prune_by_stats(entries, keys)
+    cand_paths = [e["file_path"] for e in candidates]
+
+    # 2. probe: evaluate the matched cascade once, reduce per file + clause
+    touched: list[str] = []
+    clause_rows = [0] * len(clauses)
+    if cand_paths and matched_clauses:
+        probe_src = table.scan_tagged(cand_paths)
+        if probe_columns is not None:
+            need = sorted({*probe_columns, "doc_id"})
+            probe_src = probe_src.select(*need, "_file")
+        probed = (
+            probe_src.join(
+                keyside(srcd), probe_src["doc_id"] == F.col("s_doc_id"), "inner"
+            )
+            .withColumn("_action", _clause_action_idx(matched_clauses))
+            .filter(F.col("_action") >= 0)
+        )
+        per_file = (
+            probed.groupBy("_file")
+            .pivot("_action", [i for i, _ in matched_clauses])
+            .count()
+            .collect()
+        )
+        for r in per_file:
+            touched.append(_strip(r["_file"]))
+            for i, _ in matched_clauses:
+                clause_rows[i] += r[str(i)] or 0
+        touched = sorted(touched)
+    n_updated = sum(
+        clause_rows[i] for i, c in matched_clauses if c.action == "update"
+    )
+    n_deleted = sum(
+        clause_rows[i] for i, c in matched_clauses if c.action == "delete"
+    )
+
+    # 3. rewrite touched files through the clause cascade
+    out = None
+    if touched:
+        rows = table.scan(files=touched).join(
+            keyside(srcd), F.col("doc_id") == F.col("s_doc_id"), "left"
+        )
+        action = F.when(
+            F.col("s_doc_id").isNotNull(), _clause_action_idx(matched_clauses)
+        ).otherwise(F.lit(-1))
+        rows = rows.withColumn("_action", action)
+        # drop rows claimed by a DELETE clause
+        del_ids = [i for i, c in matched_clauses if c.action == "delete"]
+        if del_ids:
+            rows = rows.filter(~F.col("_action").isin(del_ids))
+        proj = []
+        for col in data_cols:
+            expr = F.col(col)
+            for i, c in matched_clauses:
+                if c.action == "update" and col in (c.assignments or {}):
+                    expr = F.when(
+                        F.col("_action") == i, F.expr(c.assignments[col])
+                    ).otherwise(expr)
+            proj.append(expr.alias(col))
+        out = rows.select(*proj)
+
+    # 4. inserts: source keys matched nowhere in the candidates (keys
+    # outside every candidate's range are unmatched by construction)
+    n_inserted = 0
+    if insert_clauses:
+        matched_keys = (
+            table.scan_tagged(cand_paths).select("doc_id")
+            if cand_paths
+            else keys.limit(0)
+        )
+        unmatched = srcd.join(
+            keyside(matched_keys),
+            F.col("s_doc_id") == F.col("doc_id"),
+            "left_anti",
+        ).withColumn("_action", _clause_action_idx(insert_clauses))
+        unmatched = unmatched.filter(F.col("_action") >= 0)
+        proj = []
+        for col in data_cols:
+            expr = F.col(f"s_{col}")
+            for i, c in insert_clauses:
+                if col in (c.assignments or {}):
+                    expr = F.when(
+                        F.col("_action") == i, F.expr(c.assignments[col])
+                    ).otherwise(expr)
+            proj.append(expr.alias(col))
+        ins_counts = (
+            unmatched.groupBy("_action").count().collect()
+        )
+        for r in ins_counts:
+            clause_rows[r["_action"]] += r["count"]
+            n_inserted += r["count"]
+        ins = unmatched.select(*proj)
+        out = ins if out is None else out.unionByName(ins)
+
+    added: list[dict] = []
+    if out is not None:
+        added = table.write_data_files(
+            out, event_id, num_files=None, sub_dir="merged", shuffle=False
+        )
+    touched_set = set(touched)
+    table.lineage.append(
+        LineageRecord(
+            run_id=event_id,
+            operation="merge_conditional",
+            group_id=event_id,
+            partition=None,
+            files_in=touched,
+            files_out=[e["file_path"] for e in added],
+            rows=sum(e["n_rows"] for e in added),
+            bytes_in=sum(
+                e["file_size"] for e in entries if e["file_path"] in touched_set
+            ),
+            bytes_out=sum(e["file_size"] for e in added),
+            status=STATUS_DONE,
+            duration_s=time.monotonic() - t0,
+        )
+    )
+    snap = table.commit(
+        operation="merge_conditional",
+        added=added,
+        removed_paths=touched_set,
+        summary={
+            "strategy": strategy,
+            "inserted": n_inserted,
+            "updated": n_updated,
+            "deleted": n_deleted,
+            "clauses": [
+                f"WHEN {c.when} AND {c.condition or 'TRUE'} THEN {c.action}"
+                for c in clauses
+            ],
+            "files_pruned_by_stats": n_pruned,
+        },
+        expected_parent_id=base.snapshot_id,
+        event_id=event_id,
+    )
+    srcd.unpersist()
+    return MergeConditionalResult(
+        snapshot_id=snap.snapshot_id,
+        files_touched=len(touched),
+        files_pruned=n_pruned,
+        files_out=len(added),
+        inserted=n_inserted,
+        updated=n_updated,
+        deleted=n_deleted,
+        clause_rows=clause_rows,
+        strategy=strategy,
+        duration_s=time.monotonic() - t0,
+    )
+
+
 def _verify_merge(
     table: TokenTable, before_sid: int, after_sid: int, changes: DataFrame
 ) -> None:

@@ -127,3 +127,130 @@ def test_prune_by_stats_local_bisect():
     # boundary containment
     kept, _ = _prune_by_stats_local(entries, ["doc-099"])
     assert "f1" in {e["file_path"] for e in kept}
+
+
+# ------------------------------------------------------- conditional MERGE
+
+
+def _cond_source(tokens_df):
+    """Source rows: every 3rd key (longer tokens) + brand-new keys."""
+    existing = (
+        tokens_df.filter(F.crc32("doc_id") % 3 == 0)
+        .select(
+            "doc_id",
+            F.concat("tokens", F.array(F.lit(1), F.lit(2))).alias("tokens"),
+            (F.col("n_tok") + 2).alias("n_tok"),
+            "source",
+        )
+    )
+    new = tokens_df.filter(F.crc32("doc_id") % 7 == 1).select(
+        F.concat(F.lit("new-"), "doc_id").alias("doc_id"),
+        "tokens",
+        "n_tok",
+        "source",
+    )
+    return existing.unionByName(new)
+
+
+def test_merge_conditional_clause_cascade(spark, tmp_path, tokens_df):
+    from circus_train_spark.operators.merge import MergeClause, merge_conditional
+
+    t = TokenTable.create(spark, str(tmp_path / "tbl"))
+    t.append(tokens_df, num_files=12)
+    src = _cond_source(tokens_df).cache()
+    clauses = [
+        MergeClause(
+            "matched",
+            "update",
+            condition="s_n_tok > n_tok AND n_tok % 4 <> 0",
+            assignments={"tokens": "s_tokens", "n_tok": "s_n_tok"},
+        ),
+        MergeClause("matched", "delete", condition="n_tok % 4 = 0"),
+        MergeClause("not_matched", "insert"),
+    ]
+    res = merge_conditional(t, src, clauses, probe_columns=["n_tok"])
+    after = t.scan().cache()
+
+    # expected sets computed driver-side with FRESH lineage (src derives
+    # from tokens_df; re-joining them trips the ambiguous-self-join check)
+    src_rows = {r["doc_id"]: r["n_tok"] for r in src.select("doc_id", "n_tok").collect()}
+    tgt_rows = {
+        r["doc_id"]: r["n_tok"] for r in tokens_df.select("doc_id", "n_tok").collect()
+    }
+    matched_keys = set(src_rows) & set(tgt_rows)
+    exp_upd = sum(1 for k in matched_keys if tgt_rows[k] % 4 != 0)  # s_n_tok > n_tok always
+    exp_del = sum(1 for k in matched_keys if tgt_rows[k] % 4 == 0)
+    exp_ins = len(set(src_rows) - set(tgt_rows))
+    assert (res.updated, res.deleted, res.inserted) == (exp_upd, exp_del, exp_ins)
+
+    after_rows = {r["doc_id"]: r["n_tok"] for r in after.select("doc_id", "n_tok").collect()}
+    # updated rows carry the source n_tok (partial-column SET)
+    for k in matched_keys:
+        if tgt_rows[k] % 4 != 0:
+            assert after_rows[k] == src_rows[k], f"{k} not updated"
+        else:
+            assert k not in after_rows, f"{k} not deleted"
+    assert sum(1 for k in after_rows if k.startswith("new-")) == exp_ins
+    # untouched rows: rows matching no source key are byte-identical
+    from circus_train_spark.functions.digest import table_digest
+
+    keys_df = spark.createDataFrame([(k,) for k in src_rows], "doc_id string")
+    untouched_before = tokens_df.join(keys_df, "doc_id", "left_anti")
+    untouched_after = after.join(keys_df, "doc_id", "left_anti")
+    assert table_digest(untouched_before) == table_digest(untouched_after)
+    after.unpersist()
+    src.unpersist()
+
+
+def test_merge_conditional_first_clause_wins(spark, tmp_path, tokens_df):
+    from circus_train_spark.operators.merge import MergeClause, merge_conditional
+
+    t = TokenTable.create(spark, str(tmp_path / "tbl"))
+    t.append(tokens_df, num_files=6)
+    # both clauses match every source row: the first (update) must win
+    src = tokens_df.limit(50).select(
+        "doc_id", "tokens", "n_tok", F.lit("clause1").alias("source")
+    )
+    clauses = [
+        MergeClause("matched", "update", assignments={"source": "s_source"}),
+        MergeClause("matched", "delete"),
+    ]
+    res = merge_conditional(t, src, clauses)
+    assert res.updated == 50 and res.deleted == 0
+    assert t.scan().filter("source = 'clause1'").count() == 50
+
+
+def test_merge_conditional_noop_rows_untouched(spark, tmp_path, tokens_df):
+    from circus_train_spark.operators.merge import MergeClause, merge_conditional
+    from circus_train_spark.functions.digest import table_digest
+
+    t = TokenTable.create(spark, str(tmp_path / "tbl"))
+    t.append(tokens_df, num_files=6)
+    d0 = table_digest(t.scan())
+    # condition never true -> no touched file is rewritten, no commit changes rows
+    src = tokens_df.limit(20).select("doc_id", "tokens", "n_tok", "source")
+    res = merge_conditional(
+        t,
+        src,
+        [MergeClause("matched", "update", condition="n_tok < 0",
+                     assignments={"n_tok": "s_n_tok"})],
+    )
+    assert res.files_touched == 0 and res.updated == 0
+    assert table_digest(t.scan()) == d0
+
+
+def test_merge_conditional_rejects_bad_clauses(spark, tmp_path, tokens_df):
+    from circus_train_spark.operators.merge import MergeClause, merge_conditional
+
+    t = TokenTable.create(spark, str(tmp_path / "tbl"))
+    t.append(tokens_df.limit(100), num_files=2)
+    src = tokens_df.limit(5)
+    with pytest.raises(ValueError, match="cannot"):
+        merge_conditional(t, src, [MergeClause("not_matched", "update",
+                                               assignments={"n_tok": "1"})])
+    with pytest.raises(ValueError, match="assignments"):
+        merge_conditional(t, src, [MergeClause("matched", "update")])
+    with pytest.raises(ValueError, match="unknown columns"):
+        merge_conditional(
+            t, src, [MergeClause("matched", "update", assignments={"nope": "1"})]
+        )
