@@ -824,6 +824,54 @@ def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(d.withColumn("doc_id", d.doc_id + 1_000_000))
 
 
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (paragraph) dedup over the doubled corpus: 25-word
+    windows, each distinct window keeps only its first occurrence by
+    (doc_id, position); the copies (doc_id + 1,000,000) lose every window
+    and reconstruct to the empty string. Winner election shuffles only
+    8-byte window hashes — the cleaned text is re-derived scan-side (see
+    ``pipeline/dedup.py:paragraph_dedup`` scale notes)."""
+    from circus_train_spark.pipeline.dedup import paragraph_dedup
+
+    out = paragraph_dedup(
+        _doubled_docs(spark, sf_dir).select("doc_id", "text"), segment_words=25
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.md5("text_clean").alias("clean_md5"),
+    )
+
+
+_DEDUP_PARAGRAPH_SQL = r"""
+WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+), w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM d2
+), p AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(ws[(i*25 + 1):((i + 1)*25)], ' ') AS para
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(ws) / 25.0) AS INT) - 1)) AS i)
+), r AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+  FROM p
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY idx), ''))
+         AS clean_md5
+FROM r GROUP BY doc_id
+"""
+
+
 def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from circus_train_spark.pipeline.dedup import normalized_text
 
@@ -1933,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text pipeline
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_exact_keep": q_dedup_exact_keep,
+        "dedup_paragraph": q_dedup_paragraph,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1981,6 +2030,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": _CONTAMINATION_SQL,
         "repetition_stats": _REPETITION_SQL,
         "dedup_cc_groups": _DEDUP_CC_SQL,
+        "dedup_paragraph": _DEDUP_PARAGRAPH_SQL,
         "seq_pack_plan": _PACK_PLAN_SQL,
         "seq_pack_chunks": _PACK_CHUNKS_SQL,
         "seq_pack_assemble": _PACK_ASSEMBLE_SQL,

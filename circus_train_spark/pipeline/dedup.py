@@ -59,6 +59,90 @@ def exact_dup_groups(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- paragraph-level
+#
+# Whole-document dedup (exact / MinHash / SimHash above) misses repeated
+# SPANS — boilerplate paragraphs, headers, license blocks — that recur
+# across otherwise-distinct documents. Standard training-data hygiene is
+# paragraph-hash dedup: keep each distinct paragraph's first occurrence
+# (by document order) and drop every later copy, reconstructing the
+# cleaned documents. Reference analogue: none (circus-train never looks
+# inside rows); this is the engine's LLM-pipeline surface.
+
+
+def paragraph_array(
+    text: Column, sep_regex: str = r"\n{2,}", segment_words: int | None = None
+) -> Column:
+    """``array<string>`` of normalized paragraphs, built JVM-side.
+
+    Default: split on blank lines (``sep_regex``), each paragraph
+    whitespace-normalized. ``segment_words=k`` switches to fixed k-word
+    windows over the normalized text — span-level dedup for corpora without
+    paragraph markers."""
+    if segment_words is not None:
+        k = segment_words
+        words = F.split(normalized_text(text), " ")
+        n_seg = F.floor((F.size(words) + (k - 1)) / k).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(F.slice(words, i * k + 1, k), " "),
+        )
+    parts = F.split(text, sep_regex)
+    return F.filter(
+        F.transform(parts, lambda p: F.regexp_replace(F.lower(F.trim(p)), r"\s+", " ")),
+        lambda p: p != "",
+    )
+
+
+def paragraph_dedup(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_regex: str = r"\n{2,}",
+    segment_words: int | None = None,
+    joiner: str = " ",
+) -> DataFrame:
+    """Corpus-wide paragraph dedup: each distinct normalized paragraph keeps
+    ONLY its first occurrence (ordered by ``(id_col, position)``); cleaned
+    documents are reconstructed from their surviving paragraphs in original
+    order. Returns the input columns plus ``n_paras``, ``n_kept``,
+    ``text_clean`` (may be empty when every paragraph was seen earlier).
+
+    Scale plan (100 TB): paragraph text never shuffles. The winner
+    election shuffles ``(xxhash64(para), id, idx)`` — 8-byte hash keys —
+    through one groupBy-min; the keep-lists (one int array per document)
+    shuffle once more to group per doc; the single wide-row movement is the
+    final ``documents ⋈ keep_lists`` hash join on the table key (on a real
+    table both sides are co-partitioned/bucketed by ``id_col``, making it
+    shuffle-free). Paragraphs are re-derived scan-side for reconstruction
+    rather than carried through the shuffles. 64-bit hash equality stands
+    in for string equality (same posture as ``exact_dedup``)."""
+    paras = paragraph_array(F.col(text_col), sep_regex, segment_words)
+    exploded = documents.select(
+        F.col(id_col).alias("_id"), F.posexplode(paras).alias("_idx", "_p")
+    ).select("_id", "_idx", F.xxhash64("_p").alias("_h"))
+    winners = (
+        exploded.groupBy("_h")
+        .agg(F.min(F.struct("_id", "_idx")).alias("w"))
+        .select(F.col("w._id").alias("_id"), F.col("w._idx").alias("_idx"))
+    )
+    keep_lists = winners.groupBy("_id").agg(
+        F.array_sort(F.collect_list("_idx")).alias("_keep")
+    )
+    out = documents.join(
+        keep_lists, documents[id_col] == keep_lists["_id"], "left"
+    ).drop("_id")
+    kept = F.coalesce(F.col("_keep"), F.array().cast("array<int>"))
+    return out.select(
+        *documents.columns,
+        F.size(paras).alias("n_paras"),
+        F.size(kept).alias("n_kept"),
+        F.concat_ws(
+            joiner, F.transform(kept, lambda i: F.element_at(paras, i + 1))
+        ).alias("text_clean"),
+    )
+
+
 # ------------------------------------------------------------------- minhash
 
 
@@ -344,24 +428,37 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Connected components over an undirected edge list → (id, component).
 
-    Iterative min-label propagation expressed as DataFrame joins: each
-    round every vertex adopts the minimum label among itself and its
-    neighbours; fixpoint == components labelled by their minimum vertex id.
+    ``algorithm``:
 
-    Scale notes (100 TB): each round is ONE hash join (edges ⋈ labels on
-    the 8-byte vertex id) + ONE groupBy-min — both shuffle fixed-width
-    rows, never payload. Rounds needed = graph diameter; near-dup clusters
-    are shallow (stars/cliques), so 3-5 rounds in practice. ``localCheckpoint``
-    cuts the lineage so the plan does not grow per round. For adversarial
-    long-chain graphs, swap in large-star/small-star (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14) which
-    converges in O(log^2 n) rounds with the same per-round shape.
-    The convergence probe is a LIMIT-1 existence check (AQE stops the scan
-    at the first changed row), not a full count.
+    - ``"label"`` — iterative min-label propagation: each round every
+      vertex adopts the minimum label among itself and its neighbours.
+      Rounds = graph diameter; near-dup clusters are shallow
+      (stars/cliques), so 3-5 rounds in practice.
+    - ``"star"`` — alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14):
+      O(log² n) rounds regardless of diameter — the path for adversarial
+      chain-shaped graphs.
+    - ``"auto"`` (default) — label propagation; if ``max_iter`` rounds pass
+      without a fixpoint, restart with the star algorithm instead of
+      returning partial labels.
+
+    Scale notes (100 TB): every round of either algorithm is hash joins +
+    groupBy-min over fixed-width (vertex, vertex) rows — never payload.
+    ``localCheckpoint`` cuts the lineage so plans don't grow per round.
+    The label-prop convergence probe is a LIMIT-1 existence check (AQE
+    stops at the first changed row); the star probe is a count+hash-sum
+    signature (one agg job; a signature collision would only cost one
+    extra no-op round, never wrong labels, because the edge map is already
+    a fixpoint once it stops changing).
     """
+    if algorithm not in ("label", "star", "auto"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    if algorithm == "star":
+        return _star_components(edges, src, dst)
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.filter(F.col("a") != F.col("b")).persist()
@@ -370,6 +467,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         prop = sym.join(
             labels.withColumnRenamed("id", "a"), "a"
@@ -389,6 +487,81 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged and algorithm == "auto":
+        # diameter > max_iter (chain-shaped graph): the O(log² n) path
+        return _star_components(edges, src, dst)
     return labels
+
+
+def _star_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_rounds: int = 50
+) -> DataFrame:
+    """Alternating large-star/small-star CC → (id, component).
+
+    Both operations keep one invariant: every edge connects two vertices
+    of the same component, and each round strictly lowers the pointer
+    structure toward stars rooted at component minima.
+
+    - **large-star**: per vertex u, attach every neighbour v > u to
+      m = min(Γ(u) ∪ {u}).
+    - **small-star**: per vertex u over its smaller neighbours, attach
+      them (and u) to the minimum.
+
+    Each is ONE groupBy-min + ONE hash join over (vertex, vertex) rows.
+    Converges in O(log² n) rounds to the star graph (v → component-min),
+    independent of graph diameter.
+    """
+    # self-loops carry no connectivity and (as in label mode) do not even
+    # introduce their vertex
+    real = edges.filter(F.col(src) != F.col(dst))
+    verts = (
+        real.select(F.col(src).alias("id"))
+        .union(real.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # canonical orientation: a = hi, b = lo
+    e = (
+        real.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star: symmetric view, neighbours above u re-point to min
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        mins = mins.select("a", F.least("a", "mn").alias("m"))
+        ls = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        e = ls.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
+        # small-star: smaller neighbourhoods (and u itself) re-point to min
+        mins = e.groupBy("a").agg(F.min("b").alias("m"))
+        joined = e.join(mins, "a")
+        ss = joined.select(
+            F.greatest("b", "m").alias("a"), F.least("b", "m").alias("b")
+        ).union(joined.select("a", F.col("m").alias("b")))
+        e = ss.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: e is the star map (vertex -> component min); roots and
+    # isolated vertices label themselves
+    parents = e.groupBy("a").agg(F.min("b").alias("component"))
+    return verts.join(
+        parents.withColumnRenamed("a", "id"), "id", "left"
+    ).select("id", F.coalesce("component", F.col("id")).alias("component"))

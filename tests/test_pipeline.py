@@ -273,3 +273,46 @@ def test_deterministic_sample_is_stable_and_proportional(spark):
     assert abs(got["b"] / 10000 - 0.9) < 0.02
     # unlisted sources default to rate 0
     assert sample_mixture(df, {"a": 0.5}).filter("source = 'b'").count() == 0
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    from circus_train_spark.pipeline.dedup import paragraph_dedup
+
+    boiler = "all rights reserved contact us for details"
+    rows = [
+        (1, f"alpha beta gamma\n\n{boiler}"),
+        (2, f"{boiler}\n\ndelta epsilon zeta"),   # boiler already seen in doc 1
+        (3, f"{boiler}\n\n{boiler}"),             # intra-doc repeat too
+        (4, "unique paragraph here"),
+        (5, ""),                                  # empty document
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (2, 2)  # first sees both
+    assert out[1]["text_clean"] == f"alpha beta gamma {boiler}"
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (2, 1)
+    assert out[2]["text_clean"] == "delta epsilon zeta"
+    assert (out[3]["n_paras"], out[3]["n_kept"]) == (2, 0)  # all copies dropped
+    assert out[3]["text_clean"] == ""
+    assert out[4]["n_kept"] == 1
+    assert (out[5]["n_paras"], out[5]["n_kept"]) == (0, 0)
+
+
+def test_paragraph_dedup_word_windows(spark):
+    from circus_train_spark.pipeline.dedup import paragraph_dedup
+
+    # doc 2 repeats doc 1's exact text -> every 3-word window is a dup;
+    # doc 3 shares only its first window with doc 1
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),
+        (3, "a b c x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(df, segment_words=3).collect()
+    }
+    assert (out[1]["n_paras"], out[1]["n_kept"], out[1]["text_clean"]) == (2, 2, "a b c d e f")
+    assert (out[2]["n_kept"], out[2]["text_clean"]) == (0, "")
+    assert (out[3]["n_kept"], out[3]["text_clean"]) == (1, "x y z")

@@ -126,3 +126,39 @@ class TestStreamingWindowed:
         }
         assert got == batch
         assert got[("click", "2024-01-01 10:00:00")] == (2, 400)
+
+
+class TestStarComponents:
+    """Alternating large-star/small-star: O(log^2 n) rounds, diameter-proof."""
+
+    def test_hundred_hop_chain_converges(self, spark):
+        # a 100-hop path has diameter 100: label propagation with the
+        # default max_iter stalls, the star algorithm must close it
+        edges = _edges(spark, [(i, i + 1) for i in range(1, 101)])
+        cc = connected_components(edges, algorithm="star")
+        got = {r["id"]: r["component"] for r in cc.collect()}
+        assert got == {i: 1 for i in range(1, 102)}
+
+    def test_auto_falls_back_on_deep_chain(self, spark):
+        edges = _edges(spark, [(i, i + 1) for i in range(1, 101)])
+        cc = connected_components(edges, max_iter=3, algorithm="auto")
+        got = {r["id"]: r["component"] for r in cc.collect()}
+        assert got == {i: 1 for i in range(1, 102)}
+
+    def test_star_matches_label_on_mixed_graph(self, spark):
+        pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 20), (30, 31)]
+        a = connected_components(_edges(spark, pairs), algorithm="label")
+        b = connected_components(_edges(spark, pairs), algorithm="star")
+        assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+    def test_star_string_vertices(self, spark):
+        df = spark.createDataFrame(
+            [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("doc-x", "doc-y")],
+            "id_a string, id_b string",
+        )
+        cc = connected_components(df, algorithm="star")
+        got = {r["id"]: r["component"] for r in cc.collect()}
+        assert got == {
+            "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+            "doc-x": "doc-x", "doc-y": "doc-x",
+        }
