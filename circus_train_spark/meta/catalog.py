@@ -271,6 +271,53 @@ class TokenTable:
             summary={"schema": new_schema.json()},
         )
 
+    # -------------------------------------------------------------- artifacts
+    # External schema artifacts travelling WITH the table — the analogue of
+    # the reference's Avro schema copy + URL rewrite, where replication
+    # copies the schema file alongside the replica and rebinds the table
+    # property to the new location (circus-train-avro/.../
+    # AvroSerDeTableTransformation.java:45-61, SchemaCopier.java:67-104).
+    # Artifacts live under <root>/metadata/artifacts/ and are recorded in
+    # snapshot summaries as {name: root-relative path}; the root-relative
+    # form is what makes a replica's rebind a pure copy + same relpath.
+
+    ARTIFACT_DIR = "metadata/artifacts"
+
+    def attach_artifact(self, src_path: str, name: str | None = None) -> Snapshot:
+        """Copy an external file into the table tree and version the pointer
+        in a metadata-only commit. Re-attaching an existing name replaces
+        the pointer (the old file stays for snapshots that reference it and
+        is reclaimed by orphan housekeeping once unreferenced)."""
+        name = name or os.path.basename(src_path)
+        rel = os.path.join(
+            self.ARTIFACT_DIR, f"{uuid.uuid4().hex[:8]}-{name}"
+        )
+        dest = os.path.join(self.root, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.copyfile(src_path, dest)
+        arts = dict(self.current_snapshot().summary.get("artifacts", {}))
+        arts[name] = rel
+        return self.commit(operation="attach_artifact", summary={"artifacts": arts})
+
+    def artifacts(self, snapshot_id: int | None = None) -> dict[str, str]:
+        """{name: absolute path} of the artifacts a snapshot references."""
+        arts = self.snapshot(snapshot_id).summary.get("artifacts", {})
+        return {n: os.path.join(self.root, rel) for n, rel in arts.items()}
+
+    def bind_artifacts_from(self, other: "TokenTable") -> dict[str, str]:
+        """Copy ``other``'s artifacts into THIS table's tree (same relative
+        paths) and return the artifacts map to stamp into the next commit's
+        summary — replication calls this so the artifact travels with the
+        replica (SchemaCopier.java:67-104 behavior)."""
+        merged = dict(self.current_snapshot().summary.get("artifacts", {}))
+        src = other.snapshot().summary.get("artifacts", {})
+        for name, rel in src.items():
+            dest = os.path.join(self.root, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.copyfile(os.path.join(other.root, rel), dest)
+            merged[name] = rel
+        return merged
+
     # ------------------------------------------------------------ manifests
     def manifest_df(self, snapshot_id: int | None = None) -> DataFrame:
         """All live file entries for a snapshot, as a DataFrame."""
@@ -862,6 +909,11 @@ class TokenTable:
             parent_schema = parent.summary.get("schema")
             if parent_schema:
                 summary["schema"] = parent_schema
+        if "artifacts" not in summary:
+            # attached schema artifacts ride with every snapshot, same rule
+            parent_arts = parent.summary.get("artifacts")
+            if parent_arts:
+                summary["artifacts"] = parent_arts
         summary.setdefault("added_files", len(added))
         summary.setdefault("removed_files", len(removed_paths))
         summary.setdefault("added_rows", sum(e["n_rows"] for e in added))

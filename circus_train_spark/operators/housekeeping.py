@@ -233,6 +233,18 @@ def remove_orphan_files(
                 ap = os.path.abspath(os.path.join(base, n))
                 if ap not in live_manifests:
                     candidates.append(ap)
+    # schema artifacts: referenced by snapshot summaries, any extension
+    live_artifacts: set[str] = set()
+    for sid in table.log.all_snapshot_ids():
+        for rel in table.log.get(sid).summary.get("artifacts", {}).values():
+            live_artifacts.add(os.path.abspath(os.path.join(table.root, rel)))
+    art_dir = os.path.join(table.root, table.ARTIFACT_DIR)
+    if os.path.isdir(art_dir):
+        for base, _dirs, names in os.walk(art_dir):
+            for n in names:
+                ap = os.path.abspath(os.path.join(base, n))
+                if ap not in live_artifacts:
+                    candidates.append(ap)
 
     deleted = 0
     bytes_reclaimed = 0

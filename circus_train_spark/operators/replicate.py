@@ -181,18 +181,30 @@ def replicate(
             )
         )
 
+    # schema artifacts travel with the replica: copy the files into the
+    # replica tree and rebind the pointers in the SAME atomic commit (the
+    # AvroSerDeTableTransformation + SchemaCopier behavior,
+    # circus-train-avro/.../SchemaCopier.java:67-104) — metadata mode
+    # included, exactly the URL-rewrite case.
+    src_arts = source.snapshot(src_snap.snapshot_id).summary.get("artifacts", {})
+    rep_arts = rep_snap.summary.get("artifacts", {})
+    artifacts_to_bind = {n: p for n, p in src_arts.items() if rep_arts.get(n) != p}
+
     snap = None
-    if added or removed:
+    if added or removed or artifacts_to_bind:
+        summary = {
+            "mode": mode,
+            "source_snapshot": src_snap.snapshot_id,
+            "partitions": len(todo),
+            "dropped_partitions": len(dropped),
+        }
+        if artifacts_to_bind:
+            summary["artifacts"] = replica.bind_artifacts_from(source)
         snap = replica.commit(
             operation=OP,
             added=added,
             removed_paths=removed,
-            summary={
-                "mode": mode,
-                "source_snapshot": src_snap.snapshot_id,
-                "partitions": len(todo),
-                "dropped_partitions": len(dropped),
-            },
+            summary=summary,
             expected_parent_id=rep_snap.snapshot_id,
             event_id=event_id,
         )

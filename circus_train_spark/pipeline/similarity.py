@@ -186,6 +186,66 @@ def sampled_centroids(
     return [(i + 1, list(r["cent"])) for i, r in enumerate(cents)]
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_lists: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd-trained IVF codebook, expressed as DataFrame aggregations.
+
+    Init = the deterministic hash-stride sample (``sampled_centroids``);
+    each bounded iteration is exactly TWO jobs:
+
+    1. **assignment** — argmax cosine over the centroid literals (the same
+       column-algebra cascade ``ivf_topk`` uses; no UDF, no crossJoin);
+    2. **update** — ``posexplode`` the vectors to (list, dim_pos, val) and
+       ``groupBy(list, dim_pos).avg`` — Spark's partial hash aggregation
+       folds the N·d exploded rows to ≤ n_lists·d per task before the
+       shuffle, so the exchange is codebook-sized, not data-sized. The
+       n_lists × dim result is collected to the driver (the codebook is
+       driver-sized by definition) and becomes the next round's literals.
+
+    Assignment metric is cosine, update is the arithmetic mean — spherical
+    k-means without the explicit re-normalization (argmax cosine is
+    invariant to the centroid's norm, so skipping it changes nothing).
+    Empty lists keep their previous centroid. Deterministic end-to-end:
+    same data + same seed sample → same codebook at any parallelism.
+    """
+    cents = sampled_centroids(embeddings, n_lists, id_col, vec_col)
+    for _ in range(max(0, iters)):
+        assign = F.array(
+            *[
+                F.struct(
+                    F.round(cosine(F.col(vec_col), _lit_array(c)), 8).alias("s"),
+                    F.lit(lid).alias("lid"),
+                )
+                for lid, c in cents
+            ]
+        )
+        rows = (
+            embeddings.withColumn("list_id", F.array_max(assign)["lid"])
+            .select("list_id", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_list.setdefault(r["list_id"], {})[r["pos"]] = r["m"]
+        cents = [
+            (
+                lid,
+                [by_list[lid][p] for p in sorted(by_list[lid])]
+                if lid in by_list
+                else old,
+            )
+            for lid, old in cents
+        ]
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query: list[float],

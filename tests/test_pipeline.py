@@ -316,3 +316,51 @@ def test_paragraph_dedup_word_windows(spark):
     assert (out[1]["n_paras"], out[1]["n_kept"], out[1]["text_clean"]) == (2, 2, "a b c d e f")
     assert (out[2]["n_kept"], out[2]["text_clean"]) == (0, "")
     assert (out[3]["n_kept"], out[3]["text_clean"]) == (1, "x y z")
+
+
+def test_kmeans_centroids_improve_ivf_recall(spark):
+    """Lloyd-trained codebook vs the hash-stride sample on a corpus of four
+    well-separated clusters: with n_probe=1 the trained centroids must
+    align with the true clusters and beat (or tie) the sample's recall@k
+    against the brute-force ground truth."""
+    import numpy as np
+
+    from circus_train_spark.pipeline.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+        sampled_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = np.eye(4, 8) * 10.0  # 4 orthogonal cluster centers in R^8
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(60):
+            v = centers[c] + rng.randn(8) * 0.5
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    query = [float(x) for x in centers[2] + rng.randn(8) * 0.3]
+
+    truth = {r["vec_id"] for r in cosine_topk(df, query, k=10).collect()}
+
+    def recall(centroids):
+        got = {
+            r["vec_id"]
+            for r in ivf_topk(
+                df, query, k=10, n_probe=1, centroids=centroids
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    trained = kmeans_centroids(df, n_lists=4, iters=3)
+    sampled = sampled_centroids(df, n_lists=4)
+    r_trained, r_sampled = recall(trained), recall(sampled)
+    assert r_trained >= r_sampled
+    assert r_trained >= 0.9  # aligned codebook finds the cluster
+    # determinism: same data -> identical codebook
+    again = kmeans_centroids(df, n_lists=4, iters=3)
+    assert again == trained
+    df.unpersist()

@@ -132,3 +132,67 @@ def test_resume_adopts_crashed_write_alongside_new_partition(pair):
     assert "books" in res.partitions_skipped
     assert "wiki" in res.partitions_replicated
     assert src.table_digest() == rep.table_digest()
+
+
+# ---------------------------------------------------------- schema artifacts
+
+
+def test_artifact_travels_with_replica(spark, tmp_path, tokens_df, pair):
+    """Reference behavior: the Avro schema file is copied alongside the
+    replica and the table property rebound to the new location
+    (AvroSerDeTableTransformation.java:45-61, SchemaCopier.java:67-104)."""
+    import os
+
+    src, rep = pair
+    schema_file = tmp_path / "tokenizer.json"
+    schema_file.write_text('{"vocab_size": 50257, "model": "bpe"}')
+    snap = src.attach_artifact(str(schema_file), name="tokenizer.json")
+    assert snap.operation == "attach_artifact"
+    # the pointer is root-relative and the file lives inside the table tree
+    src_path = src.artifacts()["tokenizer.json"]
+    assert src_path.startswith(src.root) and os.path.exists(src_path)
+    # a later unrelated commit carries the pointer forward
+    src.append(tokens_df.limit(10), num_files=1)
+    assert "tokenizer.json" in src.artifacts()
+
+    res = replicate(src, rep, mode="incremental")
+    assert res.snapshot_id is not None
+    rep_path = rep.artifacts()["tokenizer.json"]
+    assert rep_path.startswith(rep.root) and os.path.exists(rep_path)
+    with open(rep_path) as f:
+        assert f.read() == schema_file.read_text()
+    # a second replication with nothing to copy does not commit again
+    head = rep.current_snapshot().snapshot_id
+    res2 = replicate(src, rep, mode="incremental")
+    assert res2.snapshot_id is None
+    assert rep.current_snapshot().snapshot_id == head
+
+
+def test_artifact_reattach_and_orphan_reclaim(spark, tmp_path, tokens_df):
+    import os
+
+    from circus_train_spark.operators.expire import expire_snapshots
+    from circus_train_spark.operators.housekeeping import remove_orphan_files
+
+    t = TokenTable.create(spark, str(tmp_path / "tbl"))
+    t.append(tokens_df.limit(100), num_files=1)
+    a1 = tmp_path / "v1.txt"
+    a1.write_text("v1")
+    a2 = tmp_path / "v2.txt"
+    a2.write_text("v2")
+    t.attach_artifact(str(a1), name="cfg")
+    old_path = t.artifacts()["cfg"]
+    t.attach_artifact(str(a2), name="cfg")  # replaces the pointer
+    new_path = t.artifacts()["cfg"]
+    assert old_path != new_path
+    with open(new_path) as f:
+        assert f.read() == "v2"
+    # the old file is still referenced by the older snapshot -> kept
+    future = 10**15
+    remove_orphan_files(t, now_ms=future)
+    assert os.path.exists(old_path)
+    # expire the old snapshots -> the old artifact becomes orphaned
+    expire_snapshots(t, keep_last=1)
+    remove_orphan_files(t, now_ms=future)
+    assert not os.path.exists(old_path)
+    assert os.path.exists(new_path)
