@@ -539,6 +539,32 @@ def q_tml_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_summary(table.scan())
 
 
+def q_tml_update_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE: the matched rows are re-written as NEW files
+    and their old versions suppressed by an equality-delete file — zero
+    data files rewritten in place (write amplification ∝ matched rows, not
+    touched files). Compaction then applies + purges; the scan is identical
+    before and after, and equals the copy-on-write oracle."""
+    from circus_train_spark.functions.digest import table_digest
+    from circus_train_spark.operators.compact import compact
+    from circus_train_spark.operators.delete import update_where
+
+    table = _fresh_table(spark, sf_dir)
+    res = update_where(
+        table,
+        "source IN ('src2', 'src12')",
+        {"source": "concat(source, '_clean')"},
+        mode="mor",
+    )
+    assert res.files_rewritten == 0 and res.delete_files_written == 1
+    assert table.delete_entries(), "delete file must be pending"
+    before = table_digest(table.scan())
+    compact(table, target_file_bytes=256 * 1024 * 1024)
+    assert table.delete_entries() == [], "compaction must purge"
+    assert table_digest(table.scan()) == before
+    return _scan_summary(table.scan())
+
+
 _TML_UPDATE_SQL = """
 SELECT printf('doc-%08d', doc_id) AS doc_id,
        CASE WHEN source IN ('src2', 'src12') THEN source || '_clean'
@@ -1783,6 +1809,48 @@ def q_seq_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-SPLIT packing manifest: next-fit whole-document bins per
+    (source, shard) stream — documents never span a training-example
+    boundary (the no-truncation packing variant; remainder = padding).
+    Inherently sequential per stream, so it is the one Arrow
+    ``applyInPandas`` packing stage; the oracle replays it with a
+    recursive CTE."""
+    from circus_train_spark.pipeline.tokens import bin_manifest
+
+    return bin_manifest(
+        tokenized_documents(spark, sf_dir), max_len=2048, shard_col=_pack_shard()
+    )
+
+
+_PACK_BINS_SQL = """
+WITH RECURSIVE tok AS (
+  SELECT printf('doc-%08d', doc_id) AS doc_id, source,
+         CAST((n_chars % 121) + 8 AS BIGINT) AS n_tok,
+         CAST(doc_id % 4 AS BIGINT) AS shard
+  FROM documents
+), seqd AS (
+  SELECT *, row_number() OVER (PARTITION BY source, shard ORDER BY doc_id) AS rn
+  FROM tok
+), packed AS (
+  SELECT source, shard, doc_id, n_tok, rn,
+         CAST(0 AS BIGINT) AS bin, n_tok AS fill
+  FROM seqd WHERE rn = 1
+  UNION ALL
+  SELECT s.source, s.shard, s.doc_id, s.n_tok, s.rn,
+         CASE WHEN p.fill + s.n_tok <= 2048 THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.fill + s.n_tok <= 2048 THEN p.fill + s.n_tok ELSE s.n_tok END
+  FROM seqd s JOIN packed p
+    ON s.source = p.source AND s.shard = p.shard AND s.rn = p.rn + 1
+)
+SELECT source, shard, bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(greatest(2048 - sum(n_tok), 0) AS BIGINT) AS n_padding
+FROM packed GROUP BY source, shard, bin
+"""
+
+
 def q_token_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 token frequencies: explode folds map-side into a partial
     hash agg (≤ |vocab| rows shuffled per task); top-k is
@@ -1949,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tml_delete_scan": q_tml_delete_scan,
         "tml_delete_mor_scan": q_tml_delete_mor_scan,
         "tml_update_scan": q_tml_update_scan,
+        "tml_update_mor_scan": q_tml_update_mor_scan,
         "dynamic_filter_scan": q_dynamic_filter_scan,
         # diff + replication (the reference's core pipeline)
         "table_diff": q_table_diff,
@@ -1995,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack_plan": q_seq_pack_plan,
         "seq_pack_chunks": q_seq_pack_chunks,
         "seq_pack_assemble": q_seq_pack_assemble,
+        "seq_pack_bins": q_seq_pack_bins,
         "token_vocab_topk": q_token_vocab_topk,
         "seq_length_histogram": q_seq_length_histogram,
         # similarity
@@ -2024,6 +2094,7 @@ def oracle_sql() -> dict[str, str]:
         "tml_delete_scan": _TML_DELETE_SQL,
         "tml_delete_mor_scan": _TML_DELETE_MOR_SQL,
         "tml_update_scan": _TML_UPDATE_SQL,
+        "tml_update_mor_scan": _TML_UPDATE_SQL,  # same logical result, MOR path
         "dynamic_filter_scan": _DYNAMIC_FILTER_SQL,
         "pii_scrub": _PII_SQL,
         "sample_mixture": _SAMPLE_MIXTURE_SQL,
@@ -2034,6 +2105,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack_plan": _PACK_PLAN_SQL,
         "seq_pack_chunks": _PACK_CHUNKS_SQL,
         "seq_pack_assemble": _PACK_ASSEMBLE_SQL,
+        "seq_pack_bins": _PACK_BINS_SQL,
         "token_vocab_topk": _TOKEN_VOCAB_SQL,
         "seq_length_histogram": _LENGTH_HIST_SQL,
         "events_stream_hourly": """

@@ -170,6 +170,22 @@ class TokenTable:
             else self.log.get(snapshot_id)
         )
 
+    def snapshot_as_of(self, timestamp_ms: int) -> Snapshot:
+        """Latest snapshot on the current head's ancestor chain whose commit
+        time is ≤ ``timestamp_ms`` (SQL ``FOR TIMESTAMP AS OF``). Raises if
+        every retained ancestor is newer (the history before that point has
+        been expired)."""
+        best: Snapshot | None = None
+        for snap in self.log.history():  # oldest -> newest, retained only
+            if snap.timestamp_ms <= timestamp_ms:
+                best = snap
+        if best is None:
+            raise LookupError(
+                f"no retained snapshot at or before {timestamp_ms}; "
+                "history may have been expired"
+            )
+        return best
+
     # ----------------------------------------------------------------- refs
     # Named branches and tags (Iceberg-style refs) + write-audit-publish.
     # Reference analogue: Circus Train's rename-based cutover publishes a
@@ -533,6 +549,7 @@ class TokenTable:
         doc_id_range: tuple[str, str] | None = None,
         n_tok_range: tuple[int, int] | None = None,
         ref: str | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         """Snapshot-pinned read. Returns an empty DF for an empty table.
 
@@ -540,12 +557,16 @@ class TokenTable:
         manifest before any data file is opened; ``partition_filter`` is a
         SQL boolean over ``partition``. Range arguments prune files but do
         NOT filter rows — callers still apply their row predicate.
-        ``ref`` reads a named branch head or tag instead of the main head.
+        ``ref`` reads a named branch head or tag instead of the main head;
+        ``as_of_ms`` time-travels to the newest snapshot committed at or
+        before that wall-clock time (``FOR TIMESTAMP AS OF``).
         """
+        if sum(x is not None for x in (snapshot_id, ref, as_of_ms)) > 1:
+            raise ValueError("pass at most one of snapshot_id / ref / as_of_ms")
         if ref is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass either snapshot_id or ref, not both")
             snapshot_id = self.ref_snapshot_id(ref)
+        elif as_of_ms is not None:
+            snapshot_id = self.snapshot_as_of(as_of_ms).snapshot_id
         if partition_filter or partition_limit is not None:
             sel = self.select_partitions(
                 partition_filter, partition_limit, snapshot_id

@@ -68,6 +68,7 @@ class UpdateResult:
     files_untouched: int
     files_pruned: int
     duration_s: float
+    delete_files_written: int = 0  # merge-on-read: old versions suppressed
 
 
 def _strip(p: str) -> str:
@@ -260,10 +261,21 @@ def update_where(
     *,
     doc_id_range: tuple[str, str] | None = None,
     n_tok_range: tuple[int, int] | None = None,
+    mode: str = "cow",
     run_id: str | None = None,
 ) -> UpdateResult:
     """``UPDATE ... SET col = <sql expr> WHERE predicate``; expressions may
-    reference any data column (evaluated against the pre-update row)."""
+    reference any data column (evaluated against the pre-update row).
+
+    ``mode="cow"`` (default) rewrites every touched file. ``mode="mor"``
+    writes only the UPDATED rows as new data files plus an equality-delete
+    file suppressing their old versions in place — write amplification is
+    proportional to matched rows, not touched files (the Iceberg
+    merge-on-read UPDATE shape: delete + re-insert in one commit). The new
+    rows live in fresh, untargeted files, so the delete keys never suppress
+    them."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"unknown update mode {mode!r}")
     t0 = time.monotonic()
     event_id = run_id or new_event_id()
     base = table.current_snapshot()
@@ -285,19 +297,45 @@ def update_where(
         )
 
     pred = F.expr(predicate)
-    out = table.scan(files=touched).select(
-        *[
-            (
-                F.when(pred, F.expr(sql_expr)).otherwise(F.col(c)).alias(c)
-                if (sql_expr := assignments.get(c)) is not None
-                else F.col(c)
-            )
-            for c in data_cols
+    added_deletes: list[dict] = []
+    if mode == "mor":
+        # new versions of ONLY the matched rows; old versions suppressed by
+        # an equality-delete file targeting their current files
+        out = table.scan(files=touched).filter(pred).select(
+            *[
+                F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
+                for c in data_cols
+            ]
+        )
+        added = table.write_data_files(
+            out, event_id, num_files=None, sub_dir="updated", shuffle=False
+        )
+        key_dir = os.path.join(table.data_dir, event_id, "deletes")
+        os.makedirs(key_dir, exist_ok=True)
+        key_path = os.path.join(key_dir, f"eq-delete-{event_id}.parquet")
+        keys = table.scan(files=touched).filter(pred).select("doc_id").toPandas()
+        pq.write_table(
+            pa.table({"doc_id": keys["doc_id"].astype(str).tolist()}), key_path
+        )
+        added_deletes = [
+            {"file_path": key_path, "n_keys": int(len(keys)), "targets": touched}
         ]
-    )
-    added = table.write_data_files(
-        out, event_id, num_files=None, sub_dir="updated", shuffle=False
-    )
+        removed: set[str] = set()
+    else:
+        out = table.scan(files=touched).select(
+            *[
+                (
+                    F.when(pred, F.expr(sql_expr)).otherwise(F.col(c)).alias(c)
+                    if (sql_expr := assignments.get(c)) is not None
+                    else F.col(c)
+                )
+                for c in data_cols
+            ]
+        )
+        added = table.write_data_files(
+            out, event_id, num_files=None, sub_dir="updated", shuffle=False
+        )
+        removed = set(touched)
     table.lineage.append(
         LineageRecord(
             run_id=event_id,
@@ -305,7 +343,8 @@ def update_where(
             group_id=event_id,
             partition=None,
             files_in=touched,
-            files_out=[e["file_path"] for e in added],
+            files_out=[e["file_path"] for e in added]
+            + [e["file_path"] for e in added_deletes],
             rows=rows_updated,
             bytes_in=sum(
                 e["file_size"] for e in entries if e["file_path"] in set(touched)
@@ -318,12 +357,15 @@ def update_where(
     snap = table.commit(
         operation=OP_UPDATE,
         added=added,
-        removed_paths=set(touched),
+        removed_paths=removed,
+        added_deletes=added_deletes,
         summary={
             "predicate": predicate,
             "assignments": assignments,
+            "mode": mode,
             "rows_updated": rows_updated,
-            "files_rewritten": len(touched),
+            "files_rewritten": len(removed),
+            "delete_files_written": len(added_deletes),
             "files_pruned_by_stats": n_pruned,
         },
         expected_parent_id=base.snapshot_id,
@@ -332,8 +374,9 @@ def update_where(
     return UpdateResult(
         snapshot_id=snap.snapshot_id,
         rows_updated=rows_updated,
-        files_rewritten=len(touched),
+        files_rewritten=len(removed),
         files_untouched=len(paths) - len(touched),
         files_pruned=n_pruned,
         duration_s=time.monotonic() - t0,
+        delete_files_written=len(added_deletes),
     )

@@ -207,6 +207,75 @@ def assemble_chunks(
     )
 
 
+def pack_bins(
+    tokens_df: DataFrame,
+    max_len: int = 2048,
+    shard_col: Column | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+) -> DataFrame:
+    """NO-SPLIT packing (the no-truncation variant of ``pack_plan``):
+    documents are packed whole into ``max_len``-capacity bins — a document
+    never spans a training-example boundary; the remainder of a bin that
+    cannot fit the next document is padding. Next-fit in ``id_col`` order
+    per (source, shard) stream: a document joins the current bin unless it
+    would overflow, else opens a new bin (a document longer than
+    ``max_len`` gets a bin of its own).
+
+    Returns one row per document: (source, shard, doc_id, n_tok, bin).
+
+    Unlike the window-arithmetic ``pack_plan``, next-fit is inherently
+    sequential (each assignment depends on the running fill), so this is
+    the module's one ``applyInPandas`` stage: per-(source, shard) groups,
+    Arrow-batched, a linear pass per group. The shard column exists
+    precisely so each group is one task's worth of rows (~10^6-10^7 at
+    100 TB) — state never exceeds a shard. Token arrays are pruned at the
+    scan (only id/len/keys shuffle)."""
+    import pandas as pd
+
+    shard = (shard_col if shard_col is not None else F.lit(0)).cast("long")
+    narrow = tokens_df.withColumn("shard", shard).select(
+        source_col, "shard", id_col, F.col(len_col).cast("long").alias(len_col)
+    )
+    schema = f"{source_col} string, shard long, {id_col} string, {len_col} long, bin long"
+
+    def assign(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins = []
+        b, fill = 0, 0
+        for n in pdf[len_col]:
+            if fill > 0 and fill + n > max_len:
+                b += 1
+                fill = 0
+            fill += n
+            bins.append(b)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    return narrow.groupBy(source_col, "shard").applyInPandas(assign, schema)
+
+
+def bin_manifest(
+    tokens_df: DataFrame,
+    max_len: int = 2048,
+    shard_col: Column | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+) -> DataFrame:
+    """Per-bin summary of the no-split packing:
+    (source, shard, bin, n_docs, n_tokens, n_padding)."""
+    plan = pack_bins(tokens_df, max_len, shard_col, source_col, id_col, len_col)
+    return plan.groupBy(source_col, "shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(len_col).alias("n_tokens"),
+        F.greatest(
+            F.lit(max_len) - F.sum(len_col), F.lit(0).cast("long")
+        ).alias("n_padding"),
+    )
+
+
 def token_vocab(
     tokens_df: DataFrame, k: int = 100, tokens_col: str = "tokens"
 ) -> DataFrame:

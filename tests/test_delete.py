@@ -210,3 +210,42 @@ def test_mor_delete_files_tracked_by_housekeeping(spark, tmp_path, tokens_df):
     remove_orphan_files(t, now_ms=future)
     assert not os.path.exists(key_file), "purged delete key file not reclaimed"
     assert table_digest(t.scan()) == expected
+
+
+def test_mor_update_write_amp_and_content(spark, tmp_path, tokens_df):
+    """MOR UPDATE: only the matched rows are written + one delete file;
+    no data file is rewritten; scan equals the copy-on-write result."""
+    t_cow = TokenTable.create(spark, str(tmp_path / "cow"))
+    t_cow.append(tokens_df, num_files=8)
+    t_mor = TokenTable.create(spark, str(tmp_path / "mor"))
+    t_mor.append(tokens_df, num_files=8)
+    pred, assign = "n_tok % 9 = 4", {"source": "concat(source, '_u')"}
+    update_where(t_cow, pred, assign, mode="cow")
+    files_before = {e["file_path"] for e in t_mor.manifest_entries()}
+    res = update_where(t_mor, pred, assign, mode="mor")
+    assert res.files_rewritten == 0 and res.delete_files_written == 1
+    assert files_before < {e["file_path"] for e in t_mor.manifest_entries()}
+    assert table_digest(t_mor.scan()) == table_digest(t_cow.scan())
+    assert t_mor.scan().count() == tokens_df.count()
+    # compaction purges; content unchanged
+    from circus_train_spark.operators.compact import compact
+
+    compact(t_mor, target_file_bytes=512 * 1024 * 1024)
+    assert t_mor.delete_entries() == []
+    assert table_digest(t_mor.scan()) == table_digest(t_cow.scan())
+
+
+def test_scan_as_of_timestamp(spark, tmp_path, tokens_df):
+    t = TokenTable.create(spark, str(tmp_path / "tbl"))
+    t.append(tokens_df.limit(100), num_files=1)
+    ts1 = t.current_snapshot().timestamp_ms
+    import time as _t
+
+    _t.sleep(0.01)
+    t.append(tokens_df.limit(300).subtract(tokens_df.limit(100)), num_files=1)
+    assert t.scan(as_of_ms=ts1).count() == 100
+    assert t.scan(as_of_ms=t.current_snapshot().timestamp_ms).count() == 300
+    with pytest.raises(LookupError):
+        t.scan(as_of_ms=ts1 - 10_000_000)
+    with pytest.raises(ValueError):
+        t.scan(as_of_ms=ts1, snapshot_id=1)

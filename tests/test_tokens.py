@@ -116,3 +116,50 @@ def test_zero_length_docs_span_no_chunk(spark):
     assert out == {0: [1, 2, 3, 4], 1: [4, 4, 4, 4]}
     # the plan itself still carries one row per document (incl. empty ones)
     assert pack_plan(df, max_len=4).count() == 5
+
+
+def test_pack_bins_no_split_next_fit(spark):
+    from circus_train_spark.pipeline.tokens import bin_manifest, pack_bins
+
+    rows = [
+        ("doc-1", [0] * 3, 3, "a"),
+        ("doc-2", [0] * 3, 3, "a"),   # 3+3=6 > 4 -> new bin
+        ("doc-3", [0] * 1, 1, "a"),   # 3+1=4 fits bin 1
+        ("doc-4", [0] * 9, 9, "a"),   # oversize: bin of its own
+        ("doc-5", [0] * 2, 2, "a"),
+        ("doc-6", [0] * 4, 4, "b"),   # separate stream
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    got = {
+        r["doc_id"]: r["bin"]
+        for r in pack_bins(df, max_len=4).filter("source = 'a'").collect()
+    }
+    assert got == {"doc-1": 0, "doc-2": 1, "doc-3": 1, "doc-4": 2, "doc-5": 3}
+    man = {
+        (r["source"], r["bin"]): (r["n_docs"], r["n_tokens"], r["n_padding"])
+        for r in bin_manifest(df, max_len=4).collect()
+    }
+    assert man[("a", 0)] == (1, 3, 1)
+    assert man[("a", 1)] == (2, 4, 0)
+    assert man[("a", 2)] == (1, 9, 0)  # oversize bin: no padding credited
+    assert man[("a", 3)] == (1, 2, 2)
+    assert man[("b", 0)] == (1, 4, 0)
+
+
+def test_pack_bins_sharded_capacity_invariant(spark, tokens_df):
+    from circus_train_spark.pipeline.tokens import bin_manifest
+
+    shard = F.xxhash64("doc_id") % 4
+    man = bin_manifest(tokens_df, max_len=4096, shard_col=shard)
+    # corpus max n_tok < 4096 -> every bin respects capacity
+    assert man.filter(F.col("n_tokens") > 4096).count() == 0
+    # conservation: bin token totals == corpus token total
+    assert (
+        man.agg(F.sum("n_tokens")).first()[0]
+        == tokens_df.agg(F.sum("n_tok")).first()[0]
+    )
+    # at a tight capacity, any over-capacity bin is a single oversize doc
+    tight = bin_manifest(tokens_df, max_len=512, shard_col=shard)
+    assert tight.filter((F.col("n_tokens") > 512) & (F.col("n_docs") > 1)).count() == 0

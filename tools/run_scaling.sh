@@ -15,6 +15,10 @@ OUT="BENCH_SCALING.jsonl"
 # parallelism comparison. Unset both to measure disk-backed throughput.
 export SPARK_GRAFT_BENCH_DIR="${SPARK_GRAFT_BENCH_DIR:-/dev/shm/cts-bench}"
 export SPARK_GRAFT_LOCAL_DIR="${SPARK_GRAFT_LOCAL_DIR:-/dev/shm/cts-shuffle}"
+# one pass per leg: the interleaved ITERS loop below already provides the
+# min-of-N estimate (bench.py's own in-process repeat default would double
+# every leg's wall time for no extra information)
+export SPARK_GRAFT_BENCH_REPEATS="${SPARK_GRAFT_BENCH_REPEATS:-1}"
 : > "$OUT"
 # levels INTERLEAVED (2,8,2,8,...) so drifting background load samples both
 # legs alike; min-of-N per phase is the noise-resistant estimator.
