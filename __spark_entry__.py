@@ -841,6 +841,25 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessions_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session detail rows (start/end/count/value) via the engine's
+    sessionize_batch operator — the batch twin of the
+    applyInPandasWithState streaming sessionizer (streaming/sessionize.py);
+    streaming-vs-batch parity is pytest-enforced."""
+    from circus_train_spark.streaming.sessionize import sessionize_batch
+
+    e = _read(spark, sf_dir, "events")
+    s = sessionize_batch(e, gap_minutes=30, value_expr=_cents(F.col("value")))
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return s.select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "n_events",
+        F.col("value_sum").alias("value_c"),
+    )
+
+
 # ------------------------------------------------------------ text pipeline
 
 
@@ -2037,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        "events_sessions_detail": q_events_sessions_detail,
         "events_stream_hourly": q_events_stream_hourly,
         # similarity / hash-fixture queries — registered mid-list (not last)
         # so a budget-capped correctness gate still reaches them; all six
@@ -2242,6 +2262,30 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id
+        """,
+        "events_sessions_detail": """
+            WITH g AS (
+              SELECT user_id, ts, CAST(round(value*100) AS BIGINT) AS v_c,
+                     CASE WHEN lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800*1000000
+                          THEN 1 ELSE 0 END AS new_sess,
+                     event_id
+              FROM events),
+            s AS (
+              SELECT user_id, ts, v_c,
+                     sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess
+              FROM g)
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events,
+                   CAST(sum(v_c) AS BIGINT) AS value_c
+            FROM s GROUP BY user_id, sess
         """,
         "dedup_exact_groups": """
             WITH d2 AS (
