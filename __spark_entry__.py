@@ -860,6 +860,60 @@ def q_events_sessions_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each non-signup event annotated with the user's most
+    recent signup event at-or-before it (operators/joins.py::asof_join —
+    tagged union + running last(ignorenulls) window, no join node).
+    DuckDB replays it with its native ASOF LEFT JOIN."""
+    from circus_train_spark.operators.joins import asof_join
+
+    e = _read(spark, sf_dir, "events")
+    out = asof_join(
+        e.filter(F.col("event_type") != "signup"),
+        e.filter(F.col("event_type") == "signup"),
+        on=["user_id"],
+        value_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_r").alias("signup_event_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_r").cast("timestamp"))
+        ).alias("us_since_signup"),
+    )
+
+
+def q_range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: every event matched to the 30-min-gap session interval
+    containing it (operators/joins.py::range_join — intervals explode to
+    hour buckets, equi-join on (user, bucket) + exact containment; no
+    nested-loop). Sessions are disjoint per user, so rows == |events|."""
+    from circus_train_spark.operators.joins import range_join
+    from circus_train_spark.streaming.sessionize import sessionize_batch
+
+    e = _read(spark, sf_dir, "events")
+    sess = sessionize_batch(e, gap_minutes=30).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+    out = range_join(
+        e.select("event_id", "user_id", "ts"),
+        sess,
+        on=["user_id"],
+        ts_col="ts",
+        start_col="session_start",
+        end_col="session_end",
+        bucket_us=3_600_000_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
 # ------------------------------------------------------------ text pipeline
 
 
@@ -2057,6 +2111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_sessions_detail": q_events_sessions_detail,
+        "asof_last_signup": q_asof_last_signup,
+        "range_join_sessions": q_range_join_sessions,
         "events_stream_hourly": q_events_stream_hourly,
         # similarity / hash-fixture queries — registered mid-list (not last)
         # so a budget-capped correctness gate still reaches them; all six
@@ -2286,6 +2342,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(v_c) AS BIGINT) AS value_c
             FROM s GROUP BY user_id, sess
+        """,
+        "asof_last_signup": """
+            SELECT l.event_id, l.user_id, r.event_id AS signup_event_id,
+                   epoch_us(l.ts) - epoch_us(r.ts) AS us_since_signup
+            FROM (SELECT * FROM events WHERE event_type <> 'signup') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_sessions": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800*1000000
+                          THEN 1 ELSE 0 END AS new_sess,
+                     event_id
+              FROM events),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess
+              FROM g),
+            iv AS (
+              SELECT user_id, min(ts) AS st, max(ts) AS en, count(*) AS n_events
+              FROM s GROUP BY user_id, sess)
+            SELECT e.event_id, e.user_id,
+                   strftime(iv.st, '%Y-%m-%d %H:%M:%S') AS session_start,
+                   iv.n_events
+            FROM events e JOIN iv
+              ON e.user_id = iv.user_id AND e.ts BETWEEN iv.st AND iv.en
         """,
         "dedup_exact_groups": """
             WITH d2 AS (
