@@ -33,13 +33,38 @@ def ingest_stream(
     num_files: int | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
+    dedup_keys: tuple[str, ...] | None = None,
+    dedup_ts_col: str | None = None,
+    dedup_watermark: str = "1 hour",
 ):
     """Start a streaming query appending micro-batches to ``table``.
 
     Returns the ``StreamingQuery``; callers ``awaitTermination()`` it.
     Each batch becomes one snapshot (operation ``append``) plus one lineage
     record keyed ``batch-<id>`` — the exactly-once marker.
+
+    ``dedup_keys`` adds in-flight duplicate suppression for at-least-once
+    upstream producers: rows whose keys were already seen are dropped
+    before the sink via ``dropDuplicatesWithinWatermark`` — checkpointed
+    state, so suppression survives restarts, and the watermark bounds
+    state to the last ``dedup_watermark`` of stream time instead of the
+    unbounded key set plain ``dropDuplicates`` would retain. When the
+    schema has no event-time column (the token schema doesn't), arrival
+    time is stamped per micro-batch (``dedup_ts_col=None``); duplicates
+    arriving farther apart than ``dedup_watermark`` of processing time are
+    then NOT suppressed — that is the deliberate state/recall trade.
     """
+    if dedup_keys:
+        from pyspark.sql import functions as F
+
+        ts = dedup_ts_col or "__ingest_ts"
+        s = stream_df
+        if dedup_ts_col is None:
+            s = s.withColumn(ts, F.current_timestamp())
+        s = s.withWatermark(ts, dedup_watermark).dropDuplicatesWithinWatermark(
+            list(dedup_keys)
+        )
+        stream_df = s.drop("__ingest_ts") if dedup_ts_col is None else s
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         gid = f"batch-{batch_id}"

@@ -94,3 +94,30 @@ def test_stream_ingest_survives_schema_evolution(spark, tmp_path, tokens_df):
     assert out.count() == 600
     assert "lang" in out.columns
     assert out.filter(out.lang.isNotNull()).count() == 0
+
+
+def test_stream_ingest_dedup_within_watermark(spark, tmp_path, tokens_df):
+    """At-least-once upstream: the same doc_ids delivered again in LATER
+    files (new micro-batches, so the exactly-once batch marker cannot
+    catch them) must be suppressed by dropDuplicatesWithinWatermark
+    state."""
+    src_dir = str(tmp_path / "incoming_dup")
+    first = tokens_df.limit(400)
+    first.coalesce(2).write.mode("overwrite").parquet(src_dir)
+    # redeliver 300 of the same rows plus 100 new ones, as separate files
+    dup = first.limit(300)
+    fresh = tokens_df.limit(500).subtract(first)
+    dup.unionByName(fresh).coalesce(2).write.mode("append").parquet(src_dir)
+
+    t = TokenTable.create(spark, str(tmp_path / "tbl_dup"))
+    stream = (
+        spark.readStream.schema(S.DATA_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = ingest_stream(
+        t, stream, str(tmp_path / "ckpt_dup"), num_files=1, dedup_keys=("doc_id",)
+    )
+    q.awaitTermination(120)
+    assert t.scan().count() == 500
+    assert t.scan().select("doc_id").distinct().count() == 500
