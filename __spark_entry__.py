@@ -1274,6 +1274,112 @@ FROM agg JOIN tops USING (doc_id) JOIN g USING (doc_id)
 """
 
 
+_BM25_TERMS = ["merge", "vector", "stream"]
+
+
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (Lucene +1 idf) of every document matching >=1 query
+    term (pipeline/text.py::bm25_score). Only query-term hits survive past
+    the scan into a shuffle; df/N/avgdl come back as broadcasts."""
+    from circus_train_spark.pipeline.text import bm25_score
+
+    return bm25_score(_read(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(
+    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+  FROM documents
+), t2 AS (
+  SELECT doc_id, term FROM toks WHERE term <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM t2
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM t2
+  WHERE term IN ({terms}) GROUP BY term
+)
+SELECT tf.doc_id,
+       count(*) AS n_hit_terms,
+       round(sum(
+         ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+         * (tf * 2.2)
+         / (tf + 1.2 * (0.25 + 0.75 * dl
+              / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+       ), 4) AS bm25
+FROM tf
+JOIN dfs USING (term)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists (term -> sorted distinct doc_ids) with df bounds
+    applied BEFORE list assembly (pipeline/text.py::inverted_index) — the
+    stop-term cap is what bounds the widest shuffle row at corpus scale."""
+    from circus_train_spark.pipeline.text import inverted_index
+
+    return inverted_index(
+        _read(spark, sf_dir, "documents"), min_df=2, max_df=395
+    )
+
+
+_INVERTED_INDEX_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(
+    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+  FROM documents
+), pairs AS (
+  SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''
+), dfs AS (
+  SELECT term, count(*) AS df FROM pairs GROUP BY term
+)
+SELECT p.term, CAST(max(df) AS BIGINT) AS df,
+       string_agg(CAST(p.doc_id AS VARCHAR), ',' ORDER BY p.doc_id)
+         AS postings
+FROM pairs p JOIN dfs USING (term)
+WHERE df BETWEEN 2 AND 395
+GROUP BY p.term
+"""
+
+
+def q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join (operators/joins.py::salted_join): events
+    joined to customers on a salted composite key, then aggregated —
+    result identical to the plain join the oracle runs, but a hot user_id
+    spreads over n_salts reducer partitions by construction."""
+    from circus_train_spark.operators.joins import salted_join
+
+    e = _read(spark, sf_dir, "events")
+    c = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = salted_join(e, c, on=["user_id"], n_salts=8)
+    return j.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_cents(F.col("value"))).alias("value_cents"),
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT c_mktsegment, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment, event_type
+"""
+
+
 def q_dedup_cc_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over a near-dup edge graph (iterative min-label
     propagation as DataFrame joins — see ``dedup.connected_components``).
@@ -2135,6 +2241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": q_sample_mixture,
         "contamination_check": q_contamination_check,
         "repetition_stats": q_repetition_stats,
+        "bm25_score": q_bm25_score,
+        "inverted_index": q_inverted_index,
+        "salted_join_events": q_salted_join_events,
         "dedup_cc_groups": q_dedup_cc_groups,
         # token packing / vocabulary (training-data assembly)
         "seq_pack_plan": q_seq_pack_plan,
@@ -2176,6 +2285,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_mixture": _SAMPLE_MIXTURE_SQL,
         "contamination_check": _CONTAMINATION_SQL,
         "repetition_stats": _REPETITION_SQL,
+        "bm25_score": _bm25_sql(),
+        "inverted_index": _INVERTED_INDEX_SQL,
+        "salted_join_events": _SALTED_JOIN_SQL,
         "dedup_cc_groups": _DEDUP_CC_SQL,
         "dedup_paragraph": _DEDUP_PARAGRAPH_SQL,
         "seq_pack_plan": _PACK_PLAN_SQL,

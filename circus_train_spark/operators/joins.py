@@ -146,3 +146,43 @@ def range_join(
     for c, f in zip(right_out, [f.dataType for f in right.schema if f.name in right_out]):
         missed = missed.withColumn(c, F.lit(None).cast(f))
     return inner.unionByName(missed)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defeating equi-join: identical results to ``left.join(right,
+    on, how)`` but a hot key's left rows spread over ``n_salts`` reducer
+    partitions instead of one straggler task.
+
+    The left (large/skewed) side gets a deterministic salt — a hash of the
+    whole row mod ``n_salts`` — and the right side replicates once per
+    salt, so every left row still meets every matching right row exactly
+    once, on the (key..., salt) composite. Costs ``n_salts``x the RIGHT
+    side's shuffle bytes; use when the right side is too big to broadcast
+    but far smaller than the skewed left (the classic web-corpus shape:
+    per-domain docs joined to per-domain metadata with a megasite domain).
+    AQE's skew-join handles sort-merge stragglers after the fact; salting
+    fixes the partition layout by construction and also covers the
+    groupBy-style shapes AQE's splitter cannot touch.
+
+    ``how``: ``inner`` or ``left`` (both preserve multiplicity; the salt
+    never changes match cardinality because it is a function of the left
+    row and merely partitions each key's stream).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if not (1 <= n_salts <= 4096):
+        raise ValueError(f"n_salts out of range: {n_salts}")
+    on = list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l2 = left.withColumn("__salt", salt.cast("long"))
+    r2 = right.withColumn(
+        "__salt", F.explode(F.expr(f"sequence(0, {n_salts - 1})"))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    return l2.join(r2, [*on, "__salt"], how).drop("__salt")

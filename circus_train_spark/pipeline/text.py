@@ -163,6 +163,15 @@ def _norm_words(text: Column) -> Column:
     return F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
 
 
+def _index_terms(text: Column) -> Column:
+    """Indexing tokenization: lowercase, non-alphanumeric runs collapse to a
+    single space, split on spaces. Matches ``string_split(regexp_replace(
+    lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')`` in ANSI engines so the
+    verification oracle replays it; callers filter the empty term produced
+    by leading/trailing separators."""
+    return F.split(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "), " ")
+
+
 def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document repetition counters.
 
@@ -216,3 +225,104 @@ def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("n_distinct_2grams"),
     )
     return word_stats.join(gram_stats, "doc_id")
+
+
+# ------------------------------------------------------------ retrieval ops
+#
+# BM25 relevance scoring and inverted-index construction over the corpus —
+# the retrieval half of a training-data pipeline (query-targeted corpus
+# slicing, decontamination probes, boilerplate hunting). Everything is
+# built-in-function DataFrame algebra: one explode over the token stream,
+# early term filtering so only query-term rows ever shuffle, broadcast of
+# the (tiny) per-term document-frequency side.
+
+
+def doc_term_rows(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, term) token stream under the indexing tokenization.
+    Empty terms (leading/trailing separators) are dropped."""
+    return (
+        documents.select(
+            "doc_id", F.explode(_index_terms(F.col(text_col))).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def bm25_score(
+    documents: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 (Lucene's +1 idf variant) of every document that matches
+    at least one query term.
+
+    Output: ``doc_id, n_hit_terms, bm25`` (score rounded to 4 decimals).
+
+    Scale shape: the full (doc, term) explode is reduced scan-side — the
+    only rows that survive to a shuffle are (a) per-doc token counts
+    (8-byte pairs, map-side combined) and (b) query-term hits (``isin``
+    filter directly over the explode, so the tf shuffle carries a few rows
+    per matching doc, not the token stream). Document frequencies and the
+    corpus aggregates (N, avgdl) reduce to one row / |query| rows and come
+    back as broadcasts; no side scales with anything but hit count.
+    """
+    toks = doc_term_rows(documents, text_col)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # corpus stats over docs with >=1 token (exact integers -> stable avg)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    hits = toks.filter(F.col("term").isin(query_terms))
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = hits.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = F.col("n_docs").cast("double")
+    avgdl = F.col("total_len").cast("double") / n_docs
+    idf = F.log((n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    term_score = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.round(F.sum(term_score), 4).alias("bm25"),
+        )
+    )
+
+
+def inverted_index(
+    documents: DataFrame,
+    min_df: int = 1,
+    max_df: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Posting lists: ``term, df, postings`` where ``postings`` is the
+    sorted distinct doc_ids joined with ','.
+
+    ``max_df`` drops stop-terms BEFORE their posting list is assembled (a
+    cheap pre-aggregated count), bounding the widest row the collect sees —
+    at web scale an uncapped 'the' posting is a single multi-GB row, so the
+    cap is load-bearing, not cosmetic. The shuffle carries (term, doc_id)
+    pairs only; text never moves.
+    """
+    pairs = doc_term_rows(documents, text_col).distinct()
+    counts = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    keep = counts.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        keep = keep.filter(F.col("df") <= max_df)
+    return (
+        pairs.join(F.broadcast(keep.select("term")), "term")
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            ),
+        )
+    )

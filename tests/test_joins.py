@@ -115,3 +115,41 @@ def test_range_join_boundary_inclusive(spark):
     ivals = _df(spark, ["k", "start", "end", "tag"], [(1, _ts(0), _ts(30), "a")])
     out = range_join(events, ivals, on=["k"], start_col="start", end_col="end")
     assert out.count() == 2  # both boundary events inside
+
+
+def test_salted_join_equals_plain_join(spark):
+    from circus_train_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "d"), (3, "e")], "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, "X"), (1, "Y"), (2, "Z")], "k long, rv string"
+    )
+    got = sorted(
+        tuple(r) for r in salted_join(left, right, on=["k"], n_salts=4).collect()
+    )
+    want = sorted(tuple(r) for r in left.join(right, ["k"], "inner").collect())
+    assert got == want  # multiplicity preserved: 1 matches X and Y per left row
+
+    got_l = sorted(
+        tuple(r)
+        for r in salted_join(left, right, on=["k"], n_salts=4, how="left").collect()
+    )
+    want_l = sorted(tuple(r) for r in left.join(right, ["k"], "left").collect())
+    assert got_l == want_l  # k=3 survives with null rv
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from circus_train_spark.operators.joins import salted_join
+
+    hot = spark.range(0, 1000).select(
+        F.lit(7).alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.createDataFrame([(7, "hot")], "k long, rv string")
+    j = salted_join(hot, right, on=["k"], n_salts=8)
+    assert j.count() == 1000
+    # the salt column is internal only
+    assert "__salt" not in j.columns

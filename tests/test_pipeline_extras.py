@@ -162,3 +162,61 @@ class TestStarComponents:
             "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
             "doc-x": "doc-x", "doc-y": "doc-x",
         }
+
+
+class TestRetrievalOps:
+    def _docs(self, spark):
+        rows = [
+            (1, "spark merge fast merge merge", "en", "a", 28),
+            (2, "vector scan stream", "en", "a", 18),
+            (3, "the quick brown fox", "en", "b", 19),
+            (4, "merge stream stream vector vector vector", "en", "b", 40),
+            (5, "", "en", "b", 0),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+
+    def test_bm25_matches_hand_computation(self, spark):
+        import math
+
+        from circus_train_spark.pipeline.text import bm25_score
+
+        out = {
+            r["doc_id"]: (r["n_hit_terms"], r["bm25"])
+            for r in bm25_score(self._docs(spark), ["merge", "vector"]).collect()
+        }
+        # corpus: 4 docs with tokens, lens 5,3,4,6 -> N=4, avgdl=4.5
+        # df(merge)=2, df(vector)=2 -> idf = ln((4-2+0.5)/(2+0.5)+1) = ln 2
+        def s(tf, dl):
+            return math.log(2.0) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 4.5))
+
+        assert set(out) == {1, 2, 4}
+        assert out[1] == (1, round(s(3, 5), 4))
+        assert out[2] == (1, round(s(1, 3), 4))
+        assert out[4] == (2, round(s(1, 6) + s(3, 6), 4))
+
+    def test_bm25_empty_and_unmatched_docs_absent(self, spark):
+        from circus_train_spark.pipeline.text import bm25_score
+
+        out = bm25_score(self._docs(spark), ["zzz"]).collect()
+        assert out == []
+
+    def test_inverted_index_bounds_and_order(self, spark):
+        from circus_train_spark.pipeline.text import inverted_index
+
+        rows = {
+            r["term"]: (r["df"], r["postings"])
+            for r in inverted_index(self._docs(spark), min_df=2).collect()
+        }
+        # terms in >=2 docs: merge (1,4), vector (2,4), stream (2,4)
+        assert rows == {
+            "merge": (2, "1,4"),
+            "vector": (2, "2,4"),
+            "stream": (2, "2,4"),
+        }
+        capped = inverted_index(self._docs(spark), min_df=1, max_df=1).collect()
+        assert all(r["df"] == 1 for r in capped)
+        assert {"merge", "vector", "stream"}.isdisjoint(
+            {r["term"] for r in capped}
+        )
