@@ -3,6 +3,8 @@
 # inputs (300k rows, local[8], tmpfs), interleaved A,B,A,B so host drift
 # samples both alike. Diagnoses whether the round-4 cluster_s rise is a
 # code regression or tenant noise.
+#
+# Recreate the B tree first: git worktree add .ab-r3 8d59b9c
 set -euo pipefail
 cd "$(dirname "$0")/.."
 export SPARK_GRAFT_BENCH_ROWS="${ROWS:-300000}"
