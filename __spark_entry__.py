@@ -1693,6 +1693,66 @@ def q_tml_stream_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scan_summary(table.scan())
 
 
+def q_tml_stream_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-apply: wave 1 ingests the full corpus, wave 2 lands
+    later files that REPLACE every doc_id % 7 == 0 row (new tokens, new
+    n_tok, source 'upd') through micro-batch MERGE INTO — the exactly-once
+    marker rides the same atomic commit as the merge. The second query
+    resumes from the first's checkpoint, so only the new files process."""
+    from circus_train_spark.meta.catalog import TokenTable
+    from circus_train_spark.streaming.ingest import ingest_stream
+    from circus_train_spark.meta import schema as S
+
+    root = tempfile.mkdtemp(prefix="cts-entry-")
+    incoming = os.path.join(root, "incoming")
+    ckpt = os.path.join(root, "ckpt")
+    tokenized_documents(spark, sf_dir).repartition(4).write.parquet(incoming)
+    table = TokenTable.create(spark, os.path.join(root, "tbl"))
+
+    def _stream():
+        return (
+            spark.readStream.schema(S.DATA_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(incoming)
+        )
+
+    q = ingest_stream(table, _stream(), ckpt, mode="upsert")
+    q.awaitTermination(300)
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    upd_ntok = (d.n_chars % 97 + 8).cast("int")
+    wave2 = d.select(
+        F.format_string("doc-%08d", d.doc_id).alias("doc_id"),
+        _token_expr(d.doc_id, upd_ntok, _B2).alias("tokens"),
+        upd_ntok.alias("n_tok"),
+        F.lit("upd").alias("source"),
+    )
+    wave2.repartition(2).write.mode("append").parquet(incoming)
+    q2 = ingest_stream(table, _stream(), ckpt, mode="upsert")
+    q2.awaitTermination(300)
+    return _scan_summary(table.scan())
+
+
+_TML_STREAM_UPSERT_SQL = """
+WITH kept AS (
+  SELECT printf('doc-%08d', doc_id) AS doc_id, source,
+         CAST((n_chars % 121) + 8 AS BIGINT) AS n_tok,
+         CAST(list_sum([ (doc_id*2654435761 + i*2246822519) % 50257
+                         for i in generate_series(1, (n_chars % 121) + 8) ])
+              AS BIGINT) AS tok_sum
+  FROM documents WHERE doc_id % 7 <> 0
+), upd AS (
+  SELECT printf('doc-%08d', doc_id) AS doc_id, 'upd' AS source,
+         CAST((n_chars % 97) + 8 AS BIGINT) AS n_tok,
+         CAST(list_sum([ (doc_id*2654435761 + i*1779033703) % 50257
+                         for i in generate_series(1, (n_chars % 97) + 8) ])
+              AS BIGINT) AS tok_sum
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT * FROM kept UNION ALL SELECT * FROM upd
+"""
+
+
 def q_tml_housekeeping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deferred-deletion housekeeping end-to-end: compact, expire with a
     grace period (files queued, still on disk), advance the clock past the
@@ -2188,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tml_merge_conditional_scan": q_tml_merge_conditional_scan,
         "tml_time_travel_scan": q_tml_time_travel_scan,
         "tml_stream_ingest_scan": q_tml_stream_ingest_scan,
+        "tml_stream_upsert_scan": q_tml_stream_upsert_scan,
         "tml_housekeeping_scan": q_tml_housekeeping_scan,
         "tml_rollback_scan": q_tml_rollback_scan,
         "tml_cdc_scan": q_tml_cdc_scan,
@@ -2271,6 +2332,7 @@ def oracle_sql() -> dict[str, str]:
         "tml_merge_conditional_scan": _TML_MERGE_COND_SQL,
         "tml_time_travel_scan": _TML_TIME_TRAVEL_SQL,
         "tml_stream_ingest_scan": tok_identity,
+        "tml_stream_upsert_scan": _TML_STREAM_UPSERT_SQL,
         "tml_housekeeping_scan": tok_identity,
         "tml_rollback_scan": tok_identity,
         "tml_cdc_scan": _TML_CDC_SQL,

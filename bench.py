@@ -42,6 +42,8 @@ QUERY_NAMES = [
     "merge_classify",
     "binpack_nextfit_plan",
     "events_sessionize",
+    "asof_last_signup",
+    "bm25_score",
     "dedup_exact_keep",
     "text_stats",
     "lang_id",

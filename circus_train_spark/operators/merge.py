@@ -152,6 +152,7 @@ def merge_into(
     driver_prune_threshold_keys: int = 200_000,
     verify: bool = True,
     run_id: str | None = None,
+    extra_summary: dict | None = None,
 ) -> MergeResult:
     t0 = time.monotonic()
     event_id = run_id or new_event_id()
@@ -275,6 +276,7 @@ def merge_into(
             "updated": n_updated,
             "deleted": n_deleted,
             "files_pruned_by_stats": n_pruned_stats,
+            **(extra_summary or {}),
         },
         expected_parent_id=base.snapshot_id,
         event_id=event_id,

@@ -36,8 +36,18 @@ def ingest_stream(
     dedup_keys: tuple[str, ...] | None = None,
     dedup_ts_col: str | None = None,
     dedup_watermark: str = "1 hour",
+    mode: str = "append",
 ):
     """Start a streaming query appending micro-batches to ``table``.
+
+    ``mode="upsert"`` turns each micro-batch into a MERGE INTO instead of
+    an append: rows whose ``doc_id`` exists are replaced, new ids
+    inserted — a streaming CDC-apply sink. The exactly-once marker rides
+    the SAME atomic commit (``extra_summary``), so replayed batches are
+    skipped identically to append mode. Each batch must carry at most one
+    row per ``doc_id`` (MERGE's ambiguity rule); cross-batch re-delivery
+    is fine — an upsert re-applied is idempotent in content, and the
+    batch-id marker skips it outright.
 
     Returns the ``StreamingQuery``; callers ``awaitTermination()`` it.
     Each batch becomes one snapshot (operation ``append``) plus one lineage
@@ -54,6 +64,8 @@ def ingest_stream(
     arriving farther apart than ``dedup_watermark`` of processing time are
     then NOT suppressed — that is the deliberate state/recall trade.
     """
+    if mode not in ("append", "upsert"):
+        raise ValueError(f"mode must be append|upsert, got {mode!r}")
     if dedup_keys:
         from pyspark.sql import functions as F
 
@@ -98,11 +110,22 @@ def ingest_stream(
             F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name)
             for f in table.data_schema().fields
         ]
-        snap = table.append(
-            batch_df.select(*cols),
-            num_files=num_files,
-            summary={"stream_batch_id": gid},
-        )
+        if mode == "upsert":
+            from circus_train_spark.operators.merge import merge_into
+
+            res = merge_into(
+                table,
+                batch_df.select(*cols).withColumn("_op", F.lit("upsert")),
+                verify=False,
+                extra_summary={"stream_batch_id": gid},
+            )
+            snap = table.snapshot(res.snapshot_id)
+        else:
+            snap = table.append(
+                batch_df.select(*cols),
+                num_files=num_files,
+                summary={"stream_batch_id": gid},
+            )
         entries = [
             e
             for e in table.manifest_entries(snap.snapshot_id)

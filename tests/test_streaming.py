@@ -1,5 +1,7 @@
 """Streaming ingest: exactly-once micro-batch appends."""
 
+from pyspark.sql import functions as F
+
 from circus_train_spark.meta import schema as S
 from circus_train_spark.meta.catalog import TokenTable
 from circus_train_spark.streaming.ingest import ingest_stream
@@ -121,3 +123,47 @@ def test_stream_ingest_dedup_within_watermark(spark, tmp_path, tokens_df):
     q.awaitTermination(120)
     assert t.scan().count() == 500
     assert t.scan().select("doc_id").distinct().count() == 500
+
+
+def test_stream_upsert_replaces_and_inserts(spark, tmp_path, tokens_df):
+    """mode='upsert': later micro-batches REPLACE matching doc_ids via
+    MERGE INTO, with the exactly-once marker in the same commit."""
+    src = str(tmp_path / "incoming_up")
+    wave1 = tokens_df.limit(300)
+    wave1.coalesce(2).write.mode("overwrite").parquet(src)
+
+    t = TokenTable.create(spark, str(tmp_path / "tbl_up"))
+
+    def _stream():
+        return (
+            spark.readStream.schema(S.DATA_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    ckpt = str(tmp_path / "ckpt_up")
+    q = ingest_stream(t, _stream(), ckpt, mode="upsert")
+    q.awaitTermination(120)
+    assert t.scan().count() == 300
+
+    # wave 2: replace 100 rows with mutated content + 50 brand-new ids
+    replaced = (
+        wave1.limit(100)
+        .withColumn("source", F.lit("upd"))
+        .withColumn("tokens", F.expr("transform(tokens, x -> x + 1)"))
+    )
+    fresh = tokens_df.limit(350).subtract(wave1).limit(50)
+    replaced.unionByName(fresh).coalesce(1).write.mode("append").parquet(src)
+    q2 = ingest_stream(t, _stream(), ckpt, mode="upsert")
+    q2.awaitTermination(120)
+
+    out = t.scan()
+    assert out.count() == 350
+    assert out.select("doc_id").distinct().count() == 350
+    assert out.filter(F.col("source") == "upd").count() == 100
+
+    # replay with no new files: no new snapshot, content unchanged
+    before = t.current_snapshot().snapshot_id
+    q3 = ingest_stream(t, _stream(), ckpt, mode="upsert")
+    q3.awaitTermination(120)
+    assert t.current_snapshot().snapshot_id == before
