@@ -1167,6 +1167,49 @@ WHERE (doc_id * 2654435761) % 10000 <
 """
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced mixture (alpha=0.5): kept rows distribute
+    over sources ∝ sqrt(n_s) at max feasible volume — rate_s =
+    sqrt(n_min/n_s), derived from one tiny per-source count, applied as
+    the same scan-local content-keyed predicate as sample_mixture."""
+    from circus_train_spark.pipeline.sampling import temperature_mixture
+
+    d = _read(spark, sf_dir, "documents")
+    # the synthetic corpus is source-uniform (all rates would be 1.0);
+    # carve out a deterministic 'rare' source so the rebalancing is
+    # non-trivial: heavy sources downsample to sqrt, rare keeps 1.0
+    skewed = d.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 17 == 0, F.lit("rare")).otherwise(
+            F.col("source")
+        ),
+    )
+    return temperature_mixture(skewed, alpha=0.5, salt=1).select(
+        "doc_id", "source"
+    )
+
+
+_TEMPERATURE_MIXTURE_SQL = """
+WITH skewed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN 'rare' ELSE source END AS source
+  FROM documents
+), counts AS (
+  SELECT source, count(*) AS n FROM skewed GROUP BY source
+), mn AS (
+  SELECT min(n) AS n_min FROM counts
+), rates AS (
+  SELECT source,
+         CAST(round(sqrt(CAST(n_min AS DOUBLE) / n) * 10000) AS BIGINT)
+           AS thresh
+  FROM counts, mn
+)
+SELECT d.doc_id, d.source
+FROM skewed d JOIN rates r USING (source)
+WHERE ((d.doc_id + 1) * 2654435761) % 10000 < r.thresh
+"""
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any 8-word
     shingle with the 'benchmark' subset (doc_id % 97 == 0 stands in for an
@@ -2300,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "pii_scrub": q_pii_scrub,
         "sample_mixture": q_sample_mixture,
+        "temperature_mixture": q_temperature_mixture,
         "contamination_check": q_contamination_check,
         "repetition_stats": q_repetition_stats,
         "bm25_score": q_bm25_score,
@@ -2345,6 +2389,7 @@ def oracle_sql() -> dict[str, str]:
         "dynamic_filter_scan": _DYNAMIC_FILTER_SQL,
         "pii_scrub": _PII_SQL,
         "sample_mixture": _SAMPLE_MIXTURE_SQL,
+        "temperature_mixture": _TEMPERATURE_MIXTURE_SQL,
         "contamination_check": _CONTAMINATION_SQL,
         "repetition_stats": _REPETITION_SQL,
         "bm25_score": _bm25_sql(),

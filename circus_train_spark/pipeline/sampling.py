@@ -59,3 +59,58 @@ def sample_mixture(
             F.col(source_col) == s, F.lit(int(round(r * _BUCKETS)))
         ).otherwise(thresh)
     return df.filter(sample_bucket(F.col(key_col), salt) < thresh)
+
+
+def temperature_rates(
+    counts: dict[str, int], alpha: float = 0.5
+) -> dict[str, float]:
+    """Max-volume temperature mixture rates: kept rows distribute over
+    sources ∝ ``n_s**alpha`` (alpha<1 flattens toward rare sources — the
+    standard multilingual/multi-source rebalancing exponent), at the
+    largest total volume feasible without oversampling any source.
+
+    Solving ``k_s = C * n_s**alpha / Z`` with ``max C`` s.t. ``k_s <= n_s``
+    makes the normalizer cancel::
+
+        rate_s = (n_min / n_s) ** (1 - alpha)
+
+    — the rarest source keeps rate 1.0 and heavier sources shed mass
+    smoothly. alpha=1 is proportional (no resampling); alpha=0 equalizes
+    all sources to the rarest's count.
+    """
+    if not counts:
+        return {}
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    import math
+
+    n_min = min(counts.values())
+    if alpha == 0.5:  # sqrt is IEEE-correctly-rounded: exact cross-engine
+        return {s: math.sqrt(n_min / n) for s, n in counts.items()}
+    return {s: (n_min / n) ** (1.0 - alpha) for s, n in counts.items()}
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    salt: int = 0,
+) -> DataFrame:
+    """Sample ``df`` so the kept mixture follows ``n_s**alpha`` source
+    weighting (see ``temperature_rates``). One tiny groupBy-count over the
+    source column (map-side combined, |sources| rows to the driver) derives
+    the rates; the sampling itself stays the scan-local content-keyed
+    predicate — reproducible across re-layouts, zero data shuffle.
+    """
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return sample_mixture(
+        df,
+        temperature_rates(counts, alpha),
+        key_col=key_col,
+        source_col=source_col,
+        salt=salt,
+    )

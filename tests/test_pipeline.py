@@ -364,3 +364,46 @@ def test_kmeans_centroids_improve_ivf_recall(spark):
     again = kmeans_centroids(df, n_lists=4, iters=3)
     assert again == trained
     df.unpersist()
+
+
+class TestTemperatureMixture:
+    def test_rates_formula(self):
+        from circus_train_spark.pipeline.sampling import temperature_rates
+
+        rates = temperature_rates({"web": 900, "wiki": 100, "code": 400})
+        assert rates["wiki"] == 1.0  # rarest source keeps everything
+        assert abs(rates["web"] - (100 / 900) ** 0.5) < 1e-12
+        assert abs(rates["code"] - 0.5) < 1e-12
+        # alpha=1: proportional (no resampling)
+        assert all(
+            v == 1.0
+            for v in temperature_rates({"a": 10, "b": 90}, alpha=1.0).values()
+        )
+        # alpha=0: equalize to the rarest count
+        r0 = temperature_rates({"a": 10, "b": 90}, alpha=0.0)
+        assert r0["a"] == 1.0 and abs(r0["b"] - 10 / 90) < 1e-12
+
+    def test_mixture_flattens_sources(self, spark):
+        from pyspark.sql import functions as F
+
+        from circus_train_spark.pipeline.sampling import temperature_mixture
+
+        df = (
+            spark.range(0, 2000)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.when(F.col("id") % 20 == 0, "rare").otherwise("common").alias(
+                    "source"
+                ),
+            )
+        )
+        kept = temperature_mixture(df, alpha=0.5)
+        by = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert by["rare"] == 100  # rate 1.0: all 100 rare rows kept
+        # common: rate sqrt(100/1900) ~ 0.2294 of 1900 ~ 436 expected
+        assert 300 < by["common"] < 560
+        # deterministic: re-running yields the identical keep-set
+        again = temperature_mixture(df, alpha=0.5)
+        assert kept.subtract(again).count() == 0
+        assert again.subtract(kept).count() == 0
