@@ -1749,7 +1749,9 @@ def q_tml_stream_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="cts-entry-")
     incoming = os.path.join(root, "incoming")
     ckpt = os.path.join(root, "ckpt")
-    tokenized_documents(spark, sf_dir).repartition(4).write.parquet(incoming)
+    # 2 files/wave at 2 files/trigger: one MERGE micro-batch per wave keeps
+    # the gate cheap while still proving the checkpoint-resume + replace path
+    tokenized_documents(spark, sf_dir).repartition(2).write.parquet(incoming)
     table = TokenTable.create(spark, os.path.join(root, "tbl"))
 
     def _stream():
