@@ -11,7 +11,8 @@ with subcommands, run as
 
 Subcommands: create · append · compact · cluster · expire · remove-orphans ·
 housekeeping · rewrite-manifests · merge · replicate · diff · validate ·
-history · check-filter · run (JSON job config, sequential with per-job
+history · check-filter · delete · update · rollback · tag · branch · refs ·
+scan (time-travel digest) · run (JSON job config, sequential with per-job
 failure isolation — the Locomotive driver loop).
 
 Partition filters may embed SpEL-style dynamic date blocks
@@ -138,6 +139,56 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("history", help="snapshot log of a table")
     sp.add_argument("--table", required=True)
+
+    sp = sub.add_parser("delete", help="DELETE FROM ... WHERE predicate")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--where", required=True, help="SQL predicate over data columns")
+    sp.add_argument(
+        "--mode",
+        choices=["cow", "mor", "auto"],
+        default="auto",
+        help="copy-on-write rewrite, merge-on-read delete file, or "
+        "auto (MOR when the touched-row fraction is small)",
+    )
+    sp.add_argument("--no-verify", action="store_true")
+
+    sp = sub.add_parser("update", help="UPDATE ... SET col=expr WHERE predicate")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--where", required=True)
+    sp.add_argument(
+        "--set",
+        required=True,
+        nargs="+",
+        metavar="COL=EXPR",
+        help="assignments, e.g. source=upper(source)",
+    )
+    sp.add_argument("--mode", choices=["cow", "mor"], default="cow")
+
+    sp = sub.add_parser(
+        "rollback", help="restore a retained snapshot (metadata-only commit)"
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--snapshot", type=int, required=True)
+
+    sp = sub.add_parser("tag", help="name a snapshot (immutable ref)")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--name", required=True)
+    sp.add_argument("--snapshot", type=int, default=None)
+
+    sp = sub.add_parser("branch", help="create a named branch at a snapshot")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--name", required=True)
+    sp.add_argument("--snapshot", type=int, default=None)
+
+    sp = sub.add_parser("refs", help="list branches/tags")
+    sp.add_argument("--table", required=True)
+
+    sp = sub.add_parser(
+        "scan", help="digest-summary scan (optionally time-travelled)"
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--snapshot", type=int, default=None)
+    sp.add_argument("--as-of-ms", type=int, default=None)
 
     sp = sub.add_parser(
         "run",
@@ -330,6 +381,59 @@ def main(argv: list[str] | None = None) -> int:
         res = validate(t)
         _json(res)
         return 0 if res.ok else 1
+
+    if a.cmd == "delete":
+        from circus_train_spark.operators.delete import delete_where
+
+        t = TokenTable.load(spark, a.table)
+        _json(delete_where(t, a.where, mode=a.mode, verify=not a.no_verify))
+        return 0
+
+    if a.cmd == "update":
+        from circus_train_spark.operators.delete import update_where
+
+        t = TokenTable.load(spark, a.table)
+        assignments = dict(s.split("=", 1) for s in getattr(a, "set"))
+        _json(update_where(t, a.where, assignments, mode=a.mode))
+        return 0
+
+    if a.cmd == "rollback":
+        from circus_train_spark.operators.rollback import rollback
+
+        t = TokenTable.load(spark, a.table)
+        snap = rollback(t, a.snapshot)
+        _json({"restored": a.snapshot, "new_snapshot": snap.snapshot_id})
+        return 0
+
+    if a.cmd == "tag":
+        t = TokenTable.load(spark, a.table)
+        sid = t.create_tag(a.name, a.snapshot)
+        _json({"tag": a.name, "snapshot": sid})
+        return 0
+
+    if a.cmd == "branch":
+        t = TokenTable.load(spark, a.table)
+        sid = t.create_branch(a.name, a.snapshot)
+        _json({"branch": a.name, "snapshot": sid})
+        return 0
+
+    if a.cmd == "refs":
+        t = TokenTable.load(spark, a.table)
+        _json(t.refs())
+        return 0
+
+    if a.cmd == "scan":
+        t = TokenTable.load(spark, a.table)
+        sid = a.snapshot
+        if a.as_of_ms is not None:
+            sid = t.snapshot_as_of(a.as_of_ms).snapshot_id
+        _json(
+            {
+                "snapshot": sid if sid is not None else t.log.current_id(),
+                "digest": t.table_digest(fast=True, snapshot_id=sid),
+            }
+        )
+        return 0
 
     if a.cmd == "run":
         from circus_train_spark.pipeline.runner import run_config_file
