@@ -971,6 +971,54 @@ FROM r GROUP BY doc_id
 """
 
 
+def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate stripping over the doubled corpus: 25-word windows
+    appearing in >=3 distinct docs are removed from EVERY doc. Each
+    original doc and its copy have df>=2 for all windows, so the threshold
+    fires exactly for windows shared across >=2 ORIGINAL documents —
+    cross-doc repeated spans — while doc-unique content survives. Only
+    8-byte window hashes shuffle (``pipeline/dedup.py:remove_boilerplate``)."""
+    from circus_train_spark.pipeline.dedup import remove_boilerplate
+
+    out = remove_boilerplate(
+        _doubled_docs(spark, sf_dir).select("doc_id", "text"),
+        min_df=3,
+        segment_words=25,
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.md5("text_clean").alias("clean_md5"),
+    )
+
+
+_REMOVE_BOILERPLATE_SQL = r"""
+WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+), w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM d2
+), p AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(ws[(i*25 + 1):((i + 1)*25)], ' ') AS para
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(ws) / 25.0) AS INT) - 1)) AS i)
+), dfs AS (
+  SELECT para, count(DISTINCT doc_id) AS df FROM p GROUP BY para
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN df < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN df < 3 THEN para END, ' ' ORDER BY idx), ''))
+         AS clean_md5
+FROM p JOIN dfs USING (para) GROUP BY doc_id
+"""
+
+
 def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from circus_train_spark.pipeline.dedup import normalized_text
 
@@ -2339,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_paragraph": q_dedup_paragraph,
+        "remove_boilerplate": q_remove_boilerplate,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -2399,6 +2448,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join_events": _SALTED_JOIN_SQL,
         "dedup_cc_groups": _DEDUP_CC_SQL,
         "dedup_paragraph": _DEDUP_PARAGRAPH_SQL,
+        "remove_boilerplate": _REMOVE_BOILERPLATE_SQL,
         "seq_pack_plan": _PACK_PLAN_SQL,
         "seq_pack_chunks": _PACK_CHUNKS_SQL,
         "seq_pack_assemble": _PACK_ASSEMBLE_SQL,

@@ -143,6 +143,58 @@ def paragraph_dedup(
     )
 
 
+def remove_boilerplate(
+    documents: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_regex: str = r"\n{2,}",
+    segment_words: int | None = None,
+    joiner: str = " ",
+) -> DataFrame:
+    """Strip paragraphs that recur across ``min_df``+ distinct documents
+    from EVERY document (headers, footers, cookie banners, nav chrome —
+    the public boilerplate-removal posture). Unlike ``paragraph_dedup``
+    (which keeps each paragraph's first occurrence), boilerplate is
+    removed everywhere. Returns the input columns plus ``n_paras``,
+    ``n_kept``, ``text_clean``.
+
+    Scale plan: identical to ``paragraph_dedup`` — paragraph text never
+    shuffles. The df count moves ``(hash, doc)`` 8-byte pairs through a
+    distinct + groupBy-count (map-side combined); the keep-lists join back
+    on the table key; paragraphs re-derive scan-side for reconstruction.
+    """
+    paras = paragraph_array(F.col(text_col), sep_regex, segment_words)
+    exploded = documents.select(
+        F.col(id_col).alias("_id"), F.posexplode(paras).alias("_idx", "_p")
+    ).select("_id", "_idx", F.xxhash64("_p").alias("_h"))
+    boiler = (
+        exploded.select("_h", "_id")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_h")
+    )
+    keep_lists = (
+        exploded.join(boiler, "_h", "left_anti")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list("_idx")).alias("_keep"))
+    )
+    out = documents.join(
+        keep_lists, documents[id_col] == keep_lists["_id"], "left"
+    ).drop("_id")
+    kept = F.coalesce(F.col("_keep"), F.array().cast("array<int>"))
+    return out.select(
+        *documents.columns,
+        F.size(paras).alias("n_paras"),
+        F.size(kept).alias("n_kept"),
+        F.concat_ws(
+            joiner, F.transform(kept, lambda i: F.element_at(paras, i + 1))
+        ).alias("text_clean"),
+    )
+
+
 # ------------------------------------------------------------------- minhash
 
 

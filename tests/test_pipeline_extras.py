@@ -220,3 +220,32 @@ class TestRetrievalOps:
         assert {"merge", "vector", "stream"}.isdisjoint(
             {r["term"] for r in capped}
         )
+
+
+class TestRemoveBoilerplate:
+    def test_recurring_paragraphs_stripped_everywhere(self, spark):
+        from circus_train_spark.pipeline.dedup import remove_boilerplate
+
+        footer = "subscribe to our newsletter"
+        rows = [
+            (1, f"unique alpha content\n\n{footer}"),
+            (2, f"different beta body\n\n{footer}"),
+            (3, "entirely standalone text"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_clean"])
+            for r in remove_boilerplate(df, min_df=2).collect()
+        }
+        # the footer (df=2) vanishes from BOTH docs; unique paras survive
+        assert out[1] == (2, 1, "unique alpha content")
+        assert out[2] == (2, 1, "different beta body")
+        assert out[3] == (1, 1, "entirely standalone text")
+
+    def test_all_boilerplate_doc_reconstructs_empty(self, spark):
+        from circus_train_spark.pipeline.dedup import remove_boilerplate
+
+        rows = [(1, "same thing"), (2, "same thing"), (3, "same thing")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = remove_boilerplate(df, min_df=2).collect()
+        assert all(r["n_kept"] == 0 and r["text_clean"] == "" for r in out)
