@@ -1,16 +1,17 @@
 """Pooled N→4N scaling report over the 1.5 M-row tmpfs leg files.
 
-Round-3 pooling rule (documented in BENCH/BASELINE.md): ALL benched phases
-(append / compact / cluster / merge / scan) are code-identical between the
-mid-round leg set (`BENCH/scaling_r3_midround.jsonl`, code at 25b8faa) and
-the final leg set (`BENCH_SCALING.jsonl`) — the interim commits added only
-new modules (refs/WAP, row-level delete, token packing) whose code the
-bench phases never execute (verified by commit diff). Every phase therefore
-takes its per-level minimum over BOTH files. Per-phase min-of-N is the
-noise-resistant estimator for the shared, externally-loaded host; legs were
-interleaved (2, 8, 2, 8, …).
+Round-4 pooling rule (documented in BENCH/BASELINE.md): every benched
+phase (append / compact / cluster / merge / scan) takes its per-level
+minimum over the final-code leg set (`BENCH_SCALING.jsonl`) plus the
+earlier round-4 sets (`BENCH/scaling_r4_set1.jsonl`,
+`BENCH/scaling_r4_set2_partial.jsonl`) — bench phases are code-identical
+across those commits (verified this round by the interleaved A/B probe
+against the round-3 tree, `BENCH/ab_cluster_probe.jsonl`, which showed
+phase parity even one whole round back). Per-phase min-of-N is the
+noise-resistant estimator for the shared, externally-loaded host; legs
+were interleaved (2, 8, 2, 8, …).
 
-Usage: python tools/scaling_report.py [final.jsonl [midround.jsonl]]
+Usage: python tools/scaling_report.py [final.jsonl [extra.jsonl ...]]
 """
 
 from __future__ import annotations
@@ -29,13 +30,17 @@ def load(path: str) -> list[dict]:
 
 def main() -> None:
     final_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALING.jsonl"
-    pre_path = (
-        sys.argv[2]
+    pre_paths = (
+        sys.argv[2:]
         if len(sys.argv) > 2
-        else "BENCH/scaling_r3_midround.jsonl"
+        else [
+            "BENCH/scaling_r4_set1.jsonl",
+            "BENCH/scaling_r4_set2_partial.jsonl",
+        ]
     )
     final = load(final_path)
-    pre = load(pre_path)
+    pre = [r for p in pre_paths for r in load(p)]
+    pre = [r for r in pre if r.get("rows") == final[0].get("rows")]
 
     def mins(runs: list[dict], phase: str) -> dict[int, float]:
         out: dict[int, float] = {}
