@@ -249,3 +249,54 @@ class TestRemoveBoilerplate:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         out = remove_boilerplate(df, min_df=2).collect()
         assert all(r["n_kept"] == 0 and r["text_clean"] == "" for r in out)
+
+
+class TestPlanShapes:
+    """The retrieval/mixture operators must never degrade to nested-loop or
+    cartesian physical plans — broadcast hash joins and scan-local
+    predicates only (the 100-TB posture the modules document)."""
+
+    def _docs(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.range(0, 200).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("alpha beta gamma doc "), F.col("id")).alias("text"),
+            F.lit("en").alias("lang"),
+            (F.col("id") % 3).cast("string").alias("source"),
+            F.lit(20).alias("n_chars"),
+        )
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_bm25_plan(self, spark):
+        from circus_train_spark.pipeline.text import bm25_score
+
+        plan = self._plan(bm25_score(self._docs(spark), ["alpha", "beta"]))
+        assert "CartesianProduct" not in plan
+        # the ONLY nested-loop is the 1-row corpus-stats broadcast attach
+        # (a constant join); every data-bearing join must be broadcast-hash
+        assert plan.count("NestedLoop") <= 1
+        assert "BroadcastNestedLoop" in plan or "NestedLoop" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_inverted_index_plan(self, spark):
+        from circus_train_spark.pipeline.text import inverted_index
+
+        plan = self._plan(inverted_index(self._docs(spark), min_df=2, max_df=50))
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    def test_temperature_mixture_is_scan_local(self, spark):
+        from circus_train_spark.pipeline.sampling import temperature_mixture
+
+        plan = self._plan(temperature_mixture(self._docs(spark), alpha=0.5))
+        # rates fold to literals driver-side: no join, no shuffle at all
+        assert "Join" not in plan
+        assert "Exchange" not in plan
+
+    def test_remove_boilerplate_plan(self, spark):
+        from circus_train_spark.pipeline.dedup import remove_boilerplate
+
+        plan = self._plan(remove_boilerplate(self._docs(spark), min_df=2))
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
