@@ -19,7 +19,13 @@ Config shape::
         {"op": "replicate","source": "/path/t", "replica": "/path/r",
          "mode": "incremental",
          "partition_filter":
-             "partition >= '#{#nowUtc().minusDays(3).toString(\\"yyyy-MM-dd\\")}'"}
+             "partition >= '#{#nowUtc().minusDays(3).toString(\\"yyyy-MM-dd\\")}'"},
+        {"op": "delete",   "table": "/path/t", "where": "n_tok < 16",
+         "mode": "auto"},
+        {"op": "update",   "table": "/path/t", "where": "source='web'",
+         "set": {"source": "upper(source)"}},
+        {"op": "tag",      "table": "/path/t", "name": "pre-maintenance"},
+        {"op": "rollback", "table": "/path/t", "snapshot": 42}
     ]}
 
 Filter strings pass through the SpEL-equivalent constant folding
@@ -144,6 +150,33 @@ def _run_one(spark: SparkSession, job: dict) -> dict:
             partition_limit=job.get("partition_limit"),
             propagate_deletes=job.get("propagate_deletes", False),
         )
+    elif op == "delete":
+        from circus_train_spark.operators.delete import delete_where
+
+        t = TokenTable.load(spark, job["table"])
+        res = delete_where(
+            t,
+            job["where"],
+            mode=job.get("mode", "auto"),
+            verify=job.get("verify", True),
+        )
+    elif op == "update":
+        from circus_train_spark.operators.delete import update_where
+
+        t = TokenTable.load(spark, job["table"])
+        res = update_where(
+            t, job["where"], job["set"], mode=job.get("mode", "cow")
+        )
+    elif op == "rollback":
+        from circus_train_spark.operators.rollback import rollback
+
+        t = TokenTable.load(spark, job["table"])
+        snap = rollback(t, job["snapshot"])
+        res = {"restored": job["snapshot"], "new_snapshot": snap.snapshot_id}
+    elif op == "tag":
+        t = TokenTable.load(spark, job["table"])
+        sid = t.create_tag(job["name"], job.get("snapshot"))
+        res = {"tag": job["name"], "snapshot": sid}
     elif op == "validate":
         from circus_train_spark.operators.validate import validate
 

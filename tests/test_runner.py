@@ -62,3 +62,34 @@ def test_run_config_file_with_dynamic_filter(spark, tmp_path, tokens_df):
     report = run_config_file(spark, str(cfg_path))
     assert report.ok
     assert report.jobs[0].result["rows_copied"] == 300
+
+
+def test_run_config_row_level_and_snapshot_ops(spark, tmp_path, tokens_df):
+    """delete -> tag -> update -> rollback-to-tag -> validate as one config:
+    the row-level and snapshot-management ops compose in the driver loop."""
+    root = str(tmp_path / "tbl2")
+    t = TokenTable.create(spark, root)
+    t.append(tokens_df.limit(500), num_files=4)
+    n0 = t.scan().count()
+    d0 = t.table_digest()
+    tagged_snapshot = t.log.current_id()
+
+    cfg = {
+        "jobs": [
+            {"op": "tag", "table": root, "name": "pre-maintenance"},
+            {"op": "delete", "table": root, "where": "n_tok < 32",
+             "mode": "auto", "verify": False},
+            {"op": "update", "table": root, "where": "n_tok > 96",
+             "set": {"source": "upper(source)"}},
+            {"op": "rollback", "table": root, "snapshot": tagged_snapshot},
+            {"op": "validate", "table": root},
+        ]
+    }
+    report = run_config(spark, cfg)
+    assert [j.completion_code for j in report.jobs] == [1, 1, 1, 1, 1]
+    assert report.ok
+    # rollback restored the tagged state exactly
+    t2 = TokenTable.load(spark, root)
+    assert t2.scan().count() == n0
+    assert t2.table_digest() == d0
+    assert t2.refs()["tags"]["pre-maintenance"]["snapshot_id"] == tagged_snapshot
