@@ -1537,6 +1537,45 @@ def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) event-time windows over the same drained file
+    stream: 2-hour windows every 30 minutes, so each event lands in
+    exactly 4 windows (state x4, still watermark-bounded). The oracle
+    replays the overlap by exploding each event to its 4 window starts."""
+    from circus_train_spark.streaming.windowed import windowed_counts_stream
+
+    res = windowed_counts_stream(
+        spark,
+        _t(sf_dir, "events"),
+        value_expr=_cents(F.col("value")),
+        window="2 hours",
+        slide="30 minutes",
+        watermark_delay="4 hours",
+    )
+    return res.select(
+        "event_type",
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("win_start"),
+        "n",
+        F.col("value_sum").alias("value_c"),
+    )
+
+
+_EVENTS_STREAM_SLIDING_SQL = """
+WITH e AS (
+  SELECT event_type, value,
+         to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS base
+  FROM events
+), x AS (
+  SELECT event_type, value, base - to_seconds(k * 1800) AS win
+  FROM e, LATERAL (SELECT unnest(generate_series(0, 3)) AS k)
+)
+SELECT event_type, strftime(win, '%Y-%m-%d %H:%M') AS win_start,
+       count(*) AS n,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+FROM x GROUP BY event_type, win_start
+"""
+
+
 # ------------------------------------------------------------- similarity
 
 
@@ -2374,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_signup": q_asof_last_signup,
         "range_join_sessions": q_range_join_sessions,
         "events_stream_hourly": q_events_stream_hourly,
+        "events_stream_sliding": q_events_stream_sliding,
         # similarity / hash-fixture queries — registered mid-list (not last)
         # so a budget-capped correctness gate still reaches them; all six
         # have oracles (two via independently-derived XXH64 fixtures)
@@ -2461,6 +2501,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
             FROM events GROUP BY event_type, hour
         """,
+        "events_stream_sliding": _EVENTS_STREAM_SLIDING_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "table_diff": _TABLE_DIFF_SQL,
         "table_replicate_scan": tok_identity,

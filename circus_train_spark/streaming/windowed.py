@@ -37,6 +37,7 @@ def windowed_counts_stream(
     key_cols: tuple[str, ...] = ("event_type",),
     value_expr=None,
     window: str = "1 hour",
+    slide: str | None = None,
     watermark_delay: str = "2 hours",
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
@@ -46,6 +47,11 @@ def windowed_counts_stream(
     Runs a complete-mode memory-sink query with ``availableNow`` (drain
     and stop). Returns a DataFrame of
     ``(*key_cols, window_start, n, value_sum)``.
+
+    ``slide`` switches to sliding (overlapping) windows: each event lands
+    in ``window/slide`` windows, so state grows by that factor — the
+    watermark still bounds it to the active horizon. ``slide=None`` is
+    tumbling (each event in exactly one window).
     """
     batch_schema = spark.read.parquet(src_dir).schema
     reader = spark.readStream.schema(batch_schema)
@@ -67,7 +73,14 @@ def windowed_counts_stream(
     stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     agg = (
         stream.withWatermark(ts_col, watermark_delay)
-        .groupBy(*key_cols, F.window(ts_col, window).alias("_w"))
+        .groupBy(
+            *key_cols,
+            (
+                F.window(ts_col, window, slide)
+                if slide
+                else F.window(ts_col, window)
+            ).alias("_w"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(value).alias("value_sum"),

@@ -300,3 +300,32 @@ class TestPlanShapes:
 
         plan = self._plan(remove_boilerplate(self._docs(spark), min_df=2))
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestStreamingSlidingWindow:
+    def test_event_lands_in_window_over_slide_windows(self, spark):
+        from circus_train_spark.streaming.windowed import windowed_counts_stream
+
+        src = os.path.join(tempfile.mkdtemp(prefix="cts-slide-test-"), "ev")
+        df = (
+            spark.createDataFrame(
+                [(1, "click", "2024-01-01 10:05:00", 1.0)],
+                "event_id long, event_type string, ts_s string, value double",
+            )
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+            .drop("ts_s")
+        )
+        df.write.mode("overwrite").parquet(src)
+        res = windowed_counts_stream(
+            spark, src, window="2 hours", slide="30 minutes"
+        ).collect()
+        # window/slide = 4 overlapping windows contain the single event
+        starts = sorted(str(r["window_start"]) for r in res)
+        assert len(starts) == 4
+        assert starts == [
+            "2024-01-01 08:30:00",
+            "2024-01-01 09:00:00",
+            "2024-01-01 09:30:00",
+            "2024-01-01 10:00:00",
+        ]
+        assert all(r["n"] == 1 for r in res)
