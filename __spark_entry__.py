@@ -2239,6 +2239,31 @@ def q_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_histogram(tokenized_documents(spark, sf_dir), width=8)
 
 
+def q_bpe_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token-pair frequencies, top-50 — the counting core of BPE
+    vocabulary induction. The pair explode folds map-side into a partial
+    hash agg on two 8-byte ids; top-k is TakeOrderedAndProject under the
+    total order (n desc, a, b) so the rank-50 cut is deterministic."""
+    from circus_train_spark.pipeline.tokens import token_pair_counts
+
+    return token_pair_counts(tokenized_documents(spark, sf_dir), k=50)
+
+
+_BPE_PAIR_TOPK_SQL = """
+WITH toks AS (
+  SELECT [ (doc_id*2654435761 + i*2246822519) % 50257
+           for i in generate_series(1, (n_chars % 121) + 8) ] AS t
+  FROM documents
+), p AS (
+  SELECT t[i] AS a, t[i+1] AS b
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY a, b ORDER BY n DESC, a, b LIMIT 50
+"""
+
+
 _PACK_TOK_CTE = """
 WITH tok AS (
   SELECT printf('doc-%08d', doc_id) AS doc_id, source,
@@ -2447,6 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack_assemble": q_seq_pack_assemble,
         "seq_pack_bins": q_seq_pack_bins,
         "token_vocab_topk": q_token_vocab_topk,
+        "bpe_pair_topk": q_bpe_pair_topk,
         "seq_length_histogram": q_seq_length_histogram,
         # similarity
         "sim_topk": q_sim_topk,
@@ -2494,6 +2520,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack_assemble": _PACK_ASSEMBLE_SQL,
         "seq_pack_bins": _PACK_BINS_SQL,
         "token_vocab_topk": _TOKEN_VOCAB_SQL,
+        "bpe_pair_topk": _BPE_PAIR_TOPK_SQL,
         "seq_length_histogram": _LENGTH_HIST_SQL,
         "events_stream_hourly": """
             SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,

@@ -305,3 +305,36 @@ def length_histogram(
             F.max(len_col).cast("long").alias("max_len"),
         )
     )
+
+
+def token_pair_counts(
+    tokens_df: DataFrame, k: int | None = None, tokens_col: str = "tokens"
+) -> DataFrame:
+    """Adjacent-token-pair frequencies — the counting core of BPE vocab
+    induction (the most-frequent pair is the next merge candidate).
+
+    Output: ``(a, b, n)``; with ``k`` set, the top-k pairs under the total
+    order (n desc, a, b) so the cut at rank k is deterministic.
+
+    Scale shape: the pair explode reduces through a map-side-combined
+    groupBy on two 8-byte ids — the shuffle carries (pair, partial count)
+    rows bounded by the distinct-pair count per partition, never the token
+    stream; top-k is TakeOrderedAndProject (no global sort materialized).
+    One explode per pass; BPE training iterates merge-apply externally.
+    """
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(tokens_col) - 1),
+        lambda i: F.struct(
+            F.element_at(F.col(tokens_col), i).cast("long").alias("a"),
+            F.element_at(F.col(tokens_col), i + 1).cast("long").alias("b"),
+        ),
+    )
+    out = (
+        tokens_df.filter(F.size(tokens_col) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if k is not None:
+        out = out.orderBy(F.desc("n"), "a", "b").limit(k)
+    return out

@@ -163,3 +163,21 @@ def test_pack_bins_sharded_capacity_invariant(spark, tokens_df):
     # at a tight capacity, any over-capacity bin is a single oversize doc
     tight = bin_manifest(tokens_df, max_len=512, shard_col=shard)
     assert tight.filter((F.col("n_tokens") > 512) & (F.col("n_docs") > 1)).count() == 0
+
+
+def test_token_pair_counts_bpe_core(spark):
+    from circus_train_spark.pipeline.tokens import token_pair_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, [1, 2, 1, 2, 3]),   # pairs: (1,2)x2, (2,1), (2,3)
+            (2, [1, 2]),            # (1,2)
+            (3, [7]),               # too short: no pairs
+            (4, []),                # empty: filtered before explode
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    got = {(r["a"], r["b"]): r["n"] for r in token_pair_counts(df).collect()}
+    assert got == {(1, 2): 3, (2, 1): 1, (2, 3): 1}
+    top = token_pair_counts(df, k=2).collect()
+    assert [(r["a"], r["b"], r["n"]) for r in top] == [(1, 2, 3), (2, 1, 1)]
