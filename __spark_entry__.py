@@ -2249,6 +2249,62 @@ def q_bpe_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_pair_counts(tokenized_documents(spark, sf_dir), k=50)
 
 
+def q_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE induction step: count pairs, pick the most frequent
+    non-self pair (total order: n desc, a, b), rewrite every occurrence to
+    a fresh id with the scan-local JVM fold, and summarize each rewritten
+    sequence. With a != b all matches are disjoint, so the oracle verifies
+    the fold arithmetically: len drops by the match count, sum shifts by
+    k*(new - a - b)."""
+    from circus_train_spark.pipeline.tokens import (
+        apply_bpe_merge,
+        token_pair_counts,
+    )
+
+    toks = tokenized_documents(spark, sf_dir)
+    top = (
+        token_pair_counts(toks)
+        .filter(F.col("a") != F.col("b"))
+        .orderBy(F.desc("n"), "a", "b")
+        .limit(1)
+        .collect()[0]
+    )
+    merged = apply_bpe_merge(toks, top["a"], top["b"], 60000, out_col="m")
+    return merged.select(
+        "doc_id",
+        F.size("m").cast("long").alias("n_tok_after"),
+        F.aggregate(
+            "m", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("tok_sum_after"),
+    )
+
+
+_BPE_MERGE_APPLY_SQL = """
+WITH toks AS (
+  SELECT printf('doc-%08d', doc_id) AS doc_id,
+         [ (doc_id*2654435761 + i*2246822519) % 50257
+           for i in generate_series(1, (n_chars % 121) + 8) ] AS t
+  FROM documents
+), p AS (
+  SELECT t[i] AS a, t[i+1] AS b
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)
+), top AS (
+  SELECT a, b FROM p WHERE a <> b
+  GROUP BY a, b ORDER BY count(*) DESC, a, b LIMIT 1
+), occ AS (
+  SELECT toks.doc_id, toks.t, top.a, top.b,
+         (SELECT count(*)
+          FROM (SELECT unnest(generate_series(1, len(toks.t)-1)) AS i) u
+          WHERE toks.t[u.i] = top.a AND toks.t[u.i+1] = top.b) AS k
+  FROM toks, top
+)
+SELECT doc_id,
+       CAST(len(t) - k AS BIGINT) AS n_tok_after,
+       CAST(list_sum(t) - k*(a + b) + k*60000 AS BIGINT) AS tok_sum_after
+FROM occ
+"""
+
+
 _BPE_PAIR_TOPK_SQL = """
 WITH toks AS (
   SELECT [ (doc_id*2654435761 + i*2246822519) % 50257
@@ -2473,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack_bins": q_seq_pack_bins,
         "token_vocab_topk": q_token_vocab_topk,
         "bpe_pair_topk": q_bpe_pair_topk,
+        "bpe_merge_apply": q_bpe_merge_apply,
         "seq_length_histogram": q_seq_length_histogram,
         # similarity
         "sim_topk": q_sim_topk,
@@ -2521,6 +2578,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack_bins": _PACK_BINS_SQL,
         "token_vocab_topk": _TOKEN_VOCAB_SQL,
         "bpe_pair_topk": _BPE_PAIR_TOPK_SQL,
+        "bpe_merge_apply": _BPE_MERGE_APPLY_SQL,
         "seq_length_histogram": _LENGTH_HIST_SQL,
         "events_stream_hourly": """
             SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,

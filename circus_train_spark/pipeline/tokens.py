@@ -338,3 +338,38 @@ def token_pair_counts(
     if k is not None:
         out = out.orderBy(F.desc("n"), "a", "b").limit(k)
     return out
+
+
+def apply_bpe_merge(
+    tokens_df: DataFrame,
+    a: int,
+    b: int,
+    new_id: int,
+    tokens_col: str = "tokens",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply one BPE merge: every adjacent ``(a, b)`` becomes ``new_id``,
+    left-to-right — the rewrite step that alternates with
+    ``token_pair_counts`` during vocabulary induction.
+
+    Pure JVM fold (``F.aggregate`` over the array): no shuffle, no Python,
+    whole-stage-codegen — a scan-local map over 10^12 sequences. With a
+    fresh ``new_id`` (not in the current vocab, as BPE guarantees) the
+    single-pass fold equals the iterative leftmost-rescan semantics, and
+    for ``a != b`` all matches are disjoint, so the output length drops by
+    exactly the match count.
+    """
+    dst = out_col or tokens_col
+    a_l, b_l, c_l = F.lit(int(a)), F.lit(int(b)), F.lit(int(new_id))
+
+    def _step(acc, x):
+        last = F.get(acc, F.size(acc) - 1)  # null on empty acc (no ANSI trap)
+        hit = last.isNotNull() & (last == a_l) & (x == b_l)
+        return F.when(
+            hit, F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(c_l))
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    merged = F.aggregate(
+        F.col(tokens_col), F.array().cast("array<int>"), _step
+    )
+    return tokens_df.withColumn(dst, merged)

@@ -181,3 +181,27 @@ def test_token_pair_counts_bpe_core(spark):
     assert got == {(1, 2): 3, (2, 1): 1, (2, 3): 1}
     top = token_pair_counts(df, k=2).collect()
     assert [(r["a"], r["b"], r["n"]) for r in top] == [(1, 2, 3), (2, 1, 1)]
+
+
+def test_apply_bpe_merge_fold_semantics(spark):
+    from circus_train_spark.pipeline.tokens import apply_bpe_merge
+
+    df = spark.createDataFrame(
+        [
+            (1, [1, 2, 1, 2, 3]),  # two disjoint matches
+            (2, [1, 1, 2, 2]),     # match inside a run: [1, c, 2]
+            (3, [2, 1]),           # reversed: untouched
+            (4, []),               # empty survives
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    got = {
+        r["doc_id"]: r["merged"]
+        for r in apply_bpe_merge(df, 1, 2, 99, out_col="merged").collect()
+    }
+    assert got == {
+        1: [99, 99, 3],
+        2: [1, 99, 2],
+        3: [2, 1],
+        4: [],
+    }
