@@ -1091,6 +1091,34 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LANG_ID_SQL = """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+              FROM documents),
+            scored AS (
+              SELECT doc_id, lang,
+                     list_max([
+                       {'hits': len(list_filter(tk, x -> x IN
+                          ('the','and','of','to','in','is','that','it','was','for'))),
+                        'lang': 'en'},
+                       {'hits': len(list_filter(tk, x -> x IN
+                          ('der','die','und','das','ist','nicht','ein','mit','den','von'))),
+                        'lang': 'de'},
+                       {'hits': len(list_filter(tk, x -> x IN
+                          ('le','la','les','et','des','est','une','dans','que','pour'))),
+                        'lang': 'fr'},
+                       {'hits': len(list_filter(tk, x -> x IN
+                          ('el','la','los','las','que','de','en','una','por','con'))),
+                        'lang': 'es'}
+                     ]) AS best
+              FROM toks)
+            SELECT doc_id, lang,
+                   CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
+            FROM scored
+        """
+
+
 _TEXT_QUALITY_SQL = """
     WITH t AS (
       SELECT doc_id, text,
@@ -1116,6 +1144,31 @@ _TEXT_QUALITY_SQL = """
     SELECT doc_id,
            round((len_term + punct_term + upper_term + stop_term) / 4, 6) AS quality
     FROM r
+"""
+
+
+def q_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training corpus gate: quality >= 0.5 AND predicted
+    language 'en' AND top-word coverage <= 3/10 (exact integer
+    cross-multiplication). Quality/lang are scan-local; only the
+    repetition gate joins counters (pipeline/text.py::filter_corpus)."""
+    from circus_train_spark.pipeline.text import filter_corpus
+
+    d = _read(spark, sf_dir, "documents")
+    out = filter_corpus(
+        d, min_quality=0.5, langs=("en",), max_top_word_frac=(3, 10)
+    )
+    return out.select("doc_id", "quality", "lang_pred")
+
+
+_FILTER_CORPUS_SQL = """
+WITH q AS (SELECT * FROM (%s) _q),
+l AS (SELECT * FROM (%s) _l),
+rep AS (SELECT * FROM (%s) _r)
+SELECT q.doc_id, q.quality, l.lang_pred
+FROM q JOIN l ON q.doc_id = l.doc_id JOIN rep ON q.doc_id = rep.doc_id
+WHERE q.quality >= 0.5 AND l.lang_pred = 'en'
+  AND rep.top_word_n * 10 <= rep.n_words * 3
 """
 
 
@@ -2511,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_boilerplate": q_remove_boilerplate,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
+        "filter_corpus": q_filter_corpus,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "pii_scrub": q_pii_scrub,
@@ -2811,32 +2865,7 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS stop_hits
             FROM documents
         """,
-        "lang_id": """
-            WITH toks AS (
-              SELECT doc_id, lang,
-                     regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
-              FROM documents),
-            scored AS (
-              SELECT doc_id, lang,
-                     list_max([
-                       {'hits': len(list_filter(tk, x -> x IN
-                          ('the','and','of','to','in','is','that','it','was','for'))),
-                        'lang': 'en'},
-                       {'hits': len(list_filter(tk, x -> x IN
-                          ('der','die','und','das','ist','nicht','ein','mit','den','von'))),
-                        'lang': 'de'},
-                       {'hits': len(list_filter(tk, x -> x IN
-                          ('le','la','les','et','des','est','une','dans','que','pour'))),
-                        'lang': 'fr'},
-                       {'hits': len(list_filter(tk, x -> x IN
-                          ('el','la','los','las','que','de','en','una','por','con'))),
-                        'lang': 'es'}
-                     ]) AS best
-              FROM toks)
-            SELECT doc_id, lang,
-                   CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
-            FROM scored
-        """,
+        "lang_id": _LANG_ID_SQL,
         "doc_fingerprint": """
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
@@ -2865,6 +2894,8 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 50
         """,
         "text_quality": _TEXT_QUALITY_SQL,
+        "filter_corpus": _FILTER_CORPUS_SQL
+        % (_TEXT_QUALITY_SQL, _LANG_ID_SQL, _REPETITION_SQL),
         "ann_topk": _ann_oracle_sql(),
         "ivf_topk": _IVF_SQL,
         "multimodal_features": _MULTIMODAL_SQL,

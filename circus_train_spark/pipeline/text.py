@@ -326,3 +326,44 @@ def inverted_index(
             ),
         )
     )
+
+
+def filter_corpus(
+    documents: DataFrame,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    max_top_word_frac: tuple[int, int] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """The standard pre-training corpus gate as ONE composed operator:
+    keep documents with ``quality >= min_quality``, predicted language in
+    ``langs``, and (optionally) top-word coverage at most
+    ``max_top_word_frac`` (a rational ``(num, den)`` so the comparison is
+    exact integer cross-multiplication, never float drift).
+
+    Output: the kept documents plus ``quality`` (rounded to 6 decimals —
+    the threshold compares the ROUNDED value so an independent engine
+    reproduces the cut) and ``lang_pred``.
+
+    Scale shape: quality and language are scan-local expressions (no
+    shuffle); only when the repetition gate is on does the doc-keyed join
+    against ``repetition_stats`` run — and that side shuffles counters,
+    not text.
+    """
+    t = F.col(text_col)
+    base = documents.withColumn(
+        "quality", F.round(quality_score(t), 6)
+    ).withColumn("lang_pred", lang_id(t))
+    kept = base.filter(
+        (F.col("quality") >= min_quality) & F.col("lang_pred").isin(list(langs))
+    )
+    if max_top_word_frac is not None:
+        num, den = max_top_word_frac
+        rep = repetition_stats(documents, text_col=text_col).select(
+            "doc_id", "top_word_n", "n_words"
+        )
+        kept = kept.join(rep, "doc_id").filter(
+            F.col("top_word_n") * den <= F.col("n_words") * num
+        )
+        kept = kept.drop("top_word_n", "n_words")
+    return kept

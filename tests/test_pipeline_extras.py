@@ -329,3 +329,42 @@ class TestStreamingSlidingWindow:
             "2024-01-01 10:00:00",
         ]
         assert all(r["n"] == 1 for r in res)
+
+
+class TestFilterCorpus:
+    def test_gates_compose(self, spark):
+        from circus_train_spark.pipeline.text import filter_corpus
+
+        good = (
+            "the cat sat on the mat and it was a fine day for all of the "
+            "animals in the warm garden near the old house by the river"
+        )
+        rows = [
+            (1, good),                                   # passes all gates
+            (2, "der hund ist nicht mit der katze und"), # German: lang gate
+            (3, "spam spam spam spam spam and the it"),  # top-word gate
+            (4, "x! y? z!!"),                            # quality gate
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = filter_corpus(
+            df, min_quality=0.5, langs=("en",), max_top_word_frac=(3, 10)
+        )
+        ids = sorted(r["doc_id"] for r in kept.collect())
+        assert ids == [1]
+        row = kept.collect()[0]
+        assert row["lang_pred"] == "en" and row["quality"] >= 0.5
+
+    def test_repetition_gate_optional(self, spark):
+        from circus_train_spark.pipeline.text import filter_corpus
+
+        df = spark.createDataFrame(
+            [(3, "spam spam spam spam spam and the it was for a of to in is that")],
+            "doc_id long, text string",
+        )
+        # without the repetition gate the doc passes (lang en, decent stats)
+        no_rep = filter_corpus(df, min_quality=0.2, langs=("en",))
+        assert [r["doc_id"] for r in no_rep.collect()] == [3]
+        with_rep = filter_corpus(
+            df, min_quality=0.2, langs=("en",), max_top_word_frac=(1, 10)
+        )
+        assert with_rep.collect() == []
