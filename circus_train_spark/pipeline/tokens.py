@@ -373,3 +373,46 @@ def apply_bpe_merge(
         F.col(tokens_col), F.array().cast("array<int>"), _step
     )
     return tokens_df.withColumn(dst, merged)
+
+
+def train_bpe(
+    tokens_df: DataFrame,
+    n_merges: int,
+    start_id: int = 50257,
+    min_count: int = 2,
+    tokens_col: str = "tokens",
+    checkpoint_every: int = 4,
+) -> tuple[list[tuple[int, int, int, int]], DataFrame]:
+    """Iterate count -> argmax non-self pair -> merge-apply ``n_merges``
+    times: distributed BPE vocabulary induction from the corpus.
+
+    Returns ``(merges, df)`` where ``merges`` is ``[(a, b, new_id, count)]``
+    in training order and ``df`` carries the rewritten ``tokens_col``.
+    Stops early when no remaining pair reaches ``min_count``.
+
+    Each iteration is one pair-count aggregation (map-side combined 8-byte
+    pairs) plus one scan-local fold — no token-row shuffle anywhere. The
+    plan is checkpointed every ``checkpoint_every`` merges so Catalyst
+    never sees an ``n_merges``-deep fold tower; at full scale substitute a
+    parquet round-trip for ``localCheckpoint`` to keep executor storage
+    flat.
+    """
+    merges: list[tuple[int, int, int, int]] = []
+    df = tokens_df
+    for j in range(n_merges):
+        top = (
+            token_pair_counts(df, tokens_col=tokens_col)
+            .filter(F.col("a") != F.col("b"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_count:
+            break
+        a, b, n = int(top[0]["a"]), int(top[0]["b"]), int(top[0]["n"])
+        new_id = start_id + j
+        merges.append((a, b, new_id, n))
+        df = apply_bpe_merge(df, a, b, new_id, tokens_col=tokens_col)
+        if (j + 1) % checkpoint_every == 0:
+            df = df.localCheckpoint(eager=True)
+    return merges, df

@@ -205,3 +205,26 @@ def test_apply_bpe_merge_fold_semantics(spark):
         3: [2, 1],
         4: [],
     }
+
+
+def test_train_bpe_learns_merges_in_frequency_order(spark):
+    from circus_train_spark.pipeline.tokens import train_bpe
+
+    # (1,2) x4 dominates, then (3,4) x2; (5,6) occurs once -> below min_count
+    df = spark.createDataFrame(
+        [
+            (1, [1, 2, 7, 1, 2]),
+            (2, [1, 2, 3, 4, 1, 2]),
+            (3, [3, 4, 5, 6]),
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    merges, out = train_bpe(df, n_merges=5, start_id=100)
+    assert [(m[0], m[1], m[2]) for m in merges] == [(1, 2, 100), (3, 4, 101)]
+    assert merges[0][3] == 4 and merges[1][3] == 2
+    got = {r["doc_id"]: r["tokens"] for r in out.collect()}
+    assert got == {
+        1: [100, 7, 100],
+        2: [100, 101, 100],
+        3: [101, 5, 6],
+    }
