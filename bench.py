@@ -44,6 +44,8 @@ QUERY_NAMES = [
     "events_sessionize",
     "asof_last_signup",
     "bm25_score",
+    "bpe_pair_topk",
+    "filter_corpus",
     "dedup_exact_keep",
     "text_stats",
     "lang_id",

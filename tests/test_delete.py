@@ -249,3 +249,34 @@ def test_scan_as_of_timestamp(spark, tmp_path, tokens_df):
         t.scan(as_of_ms=ts1 - 10_000_000)
     with pytest.raises(ValueError):
         t.scan(as_of_ms=ts1, snapshot_id=1)
+
+
+def test_mor_delete_state_survives_concurrent_rebase(spark, tmp_path, tokens_df):
+    """A stale-parent append that rebases onto a merge-on-read delete
+    commit must carry the pending delete manifests forward: the deleted
+    keys stay invisible and compaction still purges them later."""
+    from circus_train_spark.operators.compact import compact
+    from circus_train_spark.operators.delete import delete_where
+
+    t = TokenTable.create(spark, str(tmp_path / "morcc"))
+    t.append(tokens_df.limit(400), num_files=8)
+    base = t.current_snapshot().snapshot_id
+
+    # stage an append against `base`, then land a MoR delete first
+    extra = tokens_df.limit(450).subtract(tokens_df.limit(400)).limit(20)
+    entries = t.write_data_files(extra, "cc-append", num_files=1)
+    res = delete_where(t, "n_tok < 32", mode="mor", verify=False)
+    assert res.delete_files_written >= 1
+    n_after_delete = t.scan().count()
+    assert n_after_delete < 400
+
+    snap = t.commit(operation="append", added=entries, expected_parent_id=base)
+    # rebased onto the delete commit: manifests carried forward
+    assert t.delete_manifests(snap.snapshot_id), "delete state lost in rebase"
+    assert t.scan().count() == n_after_delete + 20  # deletes still applied
+
+    # compaction purges the carried state and preserves content
+    d_before = t.table_digest()
+    compact(t, target_file_bytes=512 * 1024 * 1024, verify=False)
+    assert not t.delete_manifests()
+    assert t.table_digest() == d_before
