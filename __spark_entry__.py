@@ -2358,6 +2358,40 @@ FROM occ
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity proxy: each doc's mean add-one bigram
+    log-probability under the corpus's own LM
+    (pipeline/tokens.py::bigram_logprob_score, V = distinct tokens)."""
+    from circus_train_spark.pipeline.tokens import bigram_logprob_score
+
+    return bigram_logprob_score(tokenized_documents(spark, sf_dir))
+
+
+_BIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT printf('doc-%08d', doc_id) AS doc_id,
+         [ (doc_id*2654435761 + i*2246822519) % 50257
+           for i in generate_series(1, (n_chars % 121) + 8) ] AS t
+  FROM documents
+), dp AS (
+  SELECT doc_id, t[i] AS a, t[i+1] AS b
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)
+), uni AS (
+  SELECT u.tok AS a, count(*) AS c_a
+  FROM (SELECT unnest(t) AS tok FROM toks) u GROUP BY u.tok
+), bi AS (
+  SELECT a, b, count(*) AS c_ab FROM dp GROUP BY a, b
+), v AS (
+  SELECT count(*) AS vs FROM uni
+)
+SELECT dp.doc_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(ln((c_ab + 1.0) / (c_a + 1.0 * vs))), 4) AS avg_logprob
+FROM dp JOIN bi USING (a, b) JOIN uni USING (a) CROSS JOIN v
+GROUP BY dp.doc_id
+"""
+
+
 _BPE_PAIR_TOPK_SQL = """
 WITH toks AS (
   SELECT [ (doc_id*2654435761 + i*2246822519) % 50257
@@ -2583,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack_bins": q_seq_pack_bins,
         "token_vocab_topk": q_token_vocab_topk,
         "bpe_pair_topk": q_bpe_pair_topk,
+        "bigram_logprob": q_bigram_logprob,
         "bpe_merge_apply": q_bpe_merge_apply,
         "seq_length_histogram": q_seq_length_histogram,
         # similarity
@@ -2632,6 +2667,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack_bins": _PACK_BINS_SQL,
         "token_vocab_topk": _TOKEN_VOCAB_SQL,
         "bpe_pair_topk": _BPE_PAIR_TOPK_SQL,
+        "bigram_logprob": _BIGRAM_LOGPROB_SQL,
         "bpe_merge_apply": _BPE_MERGE_APPLY_SQL,
         "seq_length_histogram": _LENGTH_HIST_SQL,
         "events_stream_hourly": """

@@ -416,3 +416,60 @@ def train_bpe(
         if (j + 1) % checkpoint_every == 0:
             df = df.localCheckpoint(eager=True)
     return merges, df
+
+
+def bigram_logprob_score(
+    tokens_df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    alpha: float = 1.0,
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """Perplexity-proxy quality score: each document's mean add-alpha
+    bigram log-probability under a model trained on the corpus itself —
+    the public CCNet-style posture (docs far below the corpus's own LM
+    score are noise; far above are boilerplate).
+
+    ``score(d) = mean over adjacent pairs of ln((c(a,b) + alpha) /
+    (c(a) + alpha*V))`` with ``V = vocab_size`` or the corpus's distinct
+    token count. Output: ``(id_col, n_pairs, avg_logprob)`` (4 decimals)
+    for docs with at least one pair.
+
+    Scale shape: unigram/bigram tables reduce via map-side partial aggs
+    to at most |V| / |V|^2-bounded rows; the per-doc score joins the
+    exploded (doc, a, b) stream against those tables on 8-byte ids and
+    folds straight back to one row per doc. Token arrays never shuffle.
+    """
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(tokens_col) - 1),
+        lambda i: F.struct(
+            F.element_at(F.col(tokens_col), i).cast("long").alias("a"),
+            F.element_at(F.col(tokens_col), i + 1).cast("long").alias("b"),
+        ),
+    )
+    doc_pairs = (
+        tokens_df.filter(F.size(tokens_col) >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    uni = (
+        tokens_df.select(F.explode(tokens_col).alias("t"))
+        .groupBy(F.col("t").cast("long").alias("a"))
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    bi = doc_pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    if vocab_size is None:
+        vocab_size = uni.count()
+    logp = F.log(
+        (F.col("c_ab") + F.lit(float(alpha)))
+        / (F.col("c_a") + F.lit(float(alpha) * vocab_size))
+    )
+    return (
+        doc_pairs.join(bi, ["a", "b"])
+        .join(uni, "a")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(logp), 4).alias("avg_logprob"),
+        )
+    )

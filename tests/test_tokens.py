@@ -228,3 +228,26 @@ def test_train_bpe_learns_merges_in_frequency_order(spark):
         2: [100, 101, 100],
         3: [101, 5, 6],
     }
+
+
+def test_bigram_logprob_hand_computation(spark):
+    import math
+
+    from circus_train_spark.pipeline.tokens import bigram_logprob_score
+
+    # corpus: doc1=[1,2,3], doc2=[1,2]  ->  V={1,2,3}, c(1)=2 c(2)=2 c(3)=1
+    # bigrams: (1,2)x2, (2,3)x1
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, [1, 2]), (3, [9])],
+        "doc_id long, tokens array<int>",
+    )
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["avg_logprob"])
+        for r in bigram_logprob_score(df).collect()
+    }
+    V = 4  # distinct tokens incl. 9
+    lp12 = math.log((2 + 1) / (2 + V))
+    lp23 = math.log((1 + 1) / (2 + V))
+    assert got[1] == (2, round((lp12 + lp23) / 2, 4))
+    assert got[2] == (1, round(lp12, 4))
+    assert 3 not in got  # single-token doc has no pairs
