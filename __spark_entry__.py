@@ -502,7 +502,9 @@ def q_tml_delete_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert res1.files_rewritten == 0 and res1.files_dropped == 0
     assert res1.delete_files_written == 1
     # predicate delete: second pending delete file, still no rewrites
-    res2 = delete_where(table, "n_tok % 7 = 3", mode="mor", verify=False)
+    res2 = delete_where(
+        table, "n_tok % 7 = 3", mode="mor", mor_max_fraction=0.2, verify=False
+    )
     assert res2.files_rewritten == 0 and res2.delete_files_written == 1
     assert len(table.delete_entries()) == 2
     before = table_digest(table.scan())
@@ -555,6 +557,7 @@ def q_tml_update_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source IN ('src2', 'src12')",
         {"source": "concat(source, '_clean')"},
         mode="mor",
+        mor_max_fraction=0.25,
     )
     assert res.files_rewritten == 0 and res.delete_files_written == 1
     assert table.delete_entries(), "delete file must be pending"

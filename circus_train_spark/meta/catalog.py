@@ -71,18 +71,29 @@ _ARROW_MANIFEST_SCHEMA = pa.schema(
     ]
 )
 
-# Merge-on-read equality deletes (Iceberg delete-file analogue): one entry
-# per delete file; ``file_path`` is a parquet of deleted ``doc_id`` keys and
+# Merge-on-read deletes (Iceberg delete-file analogue): one entry per delete
+# file; ``kind`` selects the key shape —
+#
+# - ``"eq"``  (equality):   ``file_path`` is a parquet of deleted ``doc_id``
+#   keys; scans anti-join them against the targeted data files.
+# - ``"pos"`` (positional): ``file_path`` is a parquet of
+#   ``(file_path, row_pos)`` rows naming exact physical row positions
+#   (``_metadata.row_index``) inside the targeted data files — cheaper to
+#   apply than equality keys (no key-column decode on the data side beyond
+#   the hidden metadata column) and the standard answer when the same key
+#   legitimately recurs.
+#
 # ``targets`` names the data files the keys apply to (the partially-matched
 # files at delete time). Scoping by target file is what makes a later
 # re-insert of a deleted key safe — the new row lands in a new data file
-# that no delete entry targets, the positional analogue of Iceberg's
-# sequence-number rule. Reference analogue: deferring the expensive physical
-# work past the logical commit, as Circus Train's deferred deletion does
+# that no delete entry targets, mirroring Iceberg's sequence-number rule.
+# Reference analogue: deferring the expensive physical work past the
+# logical commit, as Circus Train's deferred deletion does
 # (core/replica/HousekeepingCleanupLocationManager.java:56-92).
 _ARROW_DELETE_MANIFEST_SCHEMA = pa.schema(
     [
         pa.field("file_path", pa.string(), False),
+        pa.field("kind", pa.string(), False),
         pa.field("n_keys", pa.int64(), False),
         pa.field("targets", pa.list_(pa.string()), False),
         pa.field("added_snapshot_id", pa.int64(), False),
@@ -389,101 +400,178 @@ class TokenTable:
         return list(self.snapshot(snapshot_id).summary.get("delete_manifests", []))
 
     def delete_entries(self, snapshot_id: int | None = None) -> list[dict]:
-        """Live equality-delete entries for a snapshot:
-        ``{file_path, n_keys, targets, added_snapshot_id}`` dicts. Small by
-        construction (MOR is chosen only for low-touch deletes; compaction
-        purges entries), so a driver-side list like ``manifest_entries``."""
+        """Live delete-file entries for a snapshot:
+        ``{file_path, kind, n_keys, targets, added_snapshot_id}`` dicts
+        (``kind`` in ``{"eq", "pos"}``; manifests written before positional
+        deletes existed read back as ``"eq"``). Small by construction (MOR
+        is chosen only for low-touch deletes; compaction purges entries), so
+        a driver-side list like ``manifest_entries``."""
         out: list[dict] = []
         for m in self.delete_manifests(snapshot_id):
-            out.extend(pq.read_table(m).to_pylist())
+            for e in pq.read_table(m).to_pylist():
+                e.setdefault("kind", "eq")
+                out.append(e)
         return out
 
     def write_delete_manifest(self, entries: list[dict]) -> str:
         path = os.path.join(
             self.manifest_dir, f"delete-manifest-{uuid.uuid4().hex}.parquet"
         )
+        stamped = [{"kind": "eq", **e} for e in entries]
         cols = {
-            f.name: [e.get(f.name) for e in entries]
+            f.name: [e.get(f.name) for e in stamped]
             for f in _ARROW_DELETE_MANIFEST_SCHEMA
         }
         pq.write_table(pa.table(cols, schema=_ARROW_DELETE_MANIFEST_SCHEMA), path)
         return path
 
+    def _delete_groups(
+        self, paths: list[str], snapshot_id: int | None
+    ) -> "tuple[list[str], list[tuple[list[str], list[str], list[str]]]] | None":
+        """Group scanned data files by the EXACT set of pending delete key
+        files that target them. Returns ``None`` when nothing is targeted,
+        else ``(clean_paths, [(paths, eq_key_files, pos_key_files), ...])``.
+
+        Grouping per applicable-entry-set (not one lump of all targeted
+        files vs all keys) keeps each entry's keys scoped to its own target
+        files: a key deleted by entry A must never suppress a same-key row
+        that a later MERGE re-inserted into a file only entry B targets."""
+        entries = self.delete_entries(snapshot_id)
+        if not entries:
+            return None
+        pset = set(paths)
+        eq_by_path: dict[str, set[str]] = {}
+        pos_by_path: dict[str, set[str]] = {}
+        any_hit = False
+        for e in entries:
+            hit = pset.intersection(e["targets"])
+            if not hit:
+                continue
+            any_hit = True
+            d = pos_by_path if e.get("kind", "eq") == "pos" else eq_by_path
+            for p in hit:
+                d.setdefault(p, set()).add(e["file_path"])
+        if not any_hit:
+            return None
+        clean: list[str] = []
+        groups: dict[tuple, list[str]] = {}
+        for p in paths:
+            key = (
+                tuple(sorted(eq_by_path.get(p, ()))),
+                tuple(sorted(pos_by_path.get(p, ()))),
+            )
+            if not key[0] and not key[1]:
+                clean.append(p)
+            else:
+                groups.setdefault(key, []).append(p)
+        return clean, [
+            (sorted(ps), list(k[0]), list(k[1]))
+            for k, ps in sorted(groups.items())
+        ]
+
+    def _read_group(
+        self,
+        schema,
+        paths: list[str],
+        eq_key_files: list[str],
+        pos_key_files: list[str],
+        file_col: str | None = None,
+        pos_col: str | None = None,
+    ) -> DataFrame:
+        """Read one target-file group and suppress its pending MOR deletes:
+        positional keys anti-join on (normalized ``_metadata.file_path``,
+        ``_metadata.row_index``); equality keys anti-join on ``doc_id``.
+        Both key sides are broadcast (small by MOR construction). Surviving
+        rows keep their physical positions — ``pos_col`` stays meaningful
+        for stacking a second positional delete on a still-pending file."""
+        df = self.spark.read.schema(schema).parquet(*paths)
+        if file_col:
+            df = df.withColumn(file_col, F.input_file_name())
+        if pos_key_files or pos_col:
+            df = df.withColumn(
+                "_mor_fp",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            ).withColumn("_mor_rp", F.col("_metadata.row_index"))
+        if pos_key_files:
+            pos = self.spark.read.parquet(*pos_key_files).select(
+                F.col("file_path").alias("_del_fp"),
+                F.col("row_pos").alias("_del_rp"),
+            )
+            df = df.join(
+                F.broadcast(pos),
+                (F.col("_mor_fp") == F.col("_del_fp"))
+                & (F.col("_mor_rp") == F.col("_del_rp")),
+                "left_anti",
+            )
+        if eq_key_files:
+            keys = self.spark.read.parquet(*eq_key_files).select("doc_id")
+            df = df.join(F.broadcast(keys), "doc_id", "left_anti")
+        if pos_col:
+            df = df.withColumnRenamed("_mor_rp", pos_col).drop("_mor_fp")
+        elif pos_key_files:
+            df = df.drop("_mor_fp", "_mor_rp")
+        return df
+
     def _apply_deletes(
         self, df: DataFrame, paths: list[str], snapshot_id: int | None
     ) -> DataFrame:
-        """No-op unless some scanned file is targeted by a pending equality
-        delete. The targeted files are re-read separately, anti-joined on
-        ``doc_id`` against the (small, broadcast) union of applicable delete
-        keys, and unioned with the untargeted remainder — deleted keys never
-        suppress re-inserted rows because those live in untargeted files."""
-        entries = self.delete_entries(snapshot_id)
-        if not entries:
+        """No-op unless some scanned file is targeted by a pending delete.
+        Targeted files are re-read per target-group, anti-joined against the
+        (small, broadcast) applicable delete keys — equality keys on
+        ``doc_id``, positional keys on (file, row position) — and unioned
+        with the untargeted remainder; deleted keys never suppress
+        re-inserted rows because those live in untargeted files."""
+        split = self._delete_groups(paths, snapshot_id)
+        if split is None:
             return df
-        pset = set(paths)
-        targeted: set[str] = set()
-        key_files: list[str] = []
-        for e in entries:
-            hit = pset.intersection(e["targets"])
-            if hit:
-                targeted.update(hit)
-                key_files.append(e["file_path"])
-        if not targeted:
-            return df
+        clean, groups = split
         schema = df.schema
-        clean = [p for p in paths if p not in targeted]
-        keys = self.spark.read.parquet(*key_files).select("doc_id")
-        dirty = (
-            self.spark.read.schema(schema)
-            .parquet(*sorted(targeted))
-            .join(F.broadcast(keys), "doc_id", "left_anti")
-        )
-        if not clean:
-            return dirty
-        return self.spark.read.schema(schema).parquet(*clean).unionByName(dirty)
+        parts = [
+            self._read_group(schema, ps, eq, pos) for ps, eq, pos in groups
+        ]
+        if clean:
+            parts.append(self.spark.read.schema(schema).parquet(*clean))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def scan_tagged(
         self,
         files: list[str],
         snapshot_id: int | None = None,
         file_col: str = "_file",
+        pos_col: str | None = None,
     ) -> DataFrame:
         """``scan(files=...)`` plus the physical file each row came from,
         with pending MOR deletes applied. ``input_file_name()`` cannot span
         a union/join of sources, so the tag is attached per single-source
         read *before* deletes are anti-joined — this is what DELETE/MERGE
-        classification probes use."""
+        classification probes use. Pass ``pos_col`` to additionally tag each
+        row with its physical position inside its file
+        (``_metadata.row_index``) — what positional delete files record."""
         schema = self.data_schema(snapshot_id)
         if not files:
             import pyspark.sql.types as T
 
+            extra = [T.StructField(file_col, T.StringType())]
+            if pos_col:
+                extra.append(T.StructField(pos_col, T.LongType()))
             return self.spark.createDataFrame(
-                [], T.StructType(schema.fields + [T.StructField(file_col, T.StringType())])
+                [], T.StructType(schema.fields + extra)
             )
-        entries = self.delete_entries(snapshot_id)
-        pset = set(files)
-        targeted: set[str] = set()
-        key_files: list[str] = []
-        for e in entries:
-            hit = pset.intersection(e["targets"])
-            if hit:
-                targeted.update(hit)
-                key_files.append(e["file_path"])
-        clean = [p for p in files if p not in targeted]
-        parts = []
+        split = self._delete_groups(files, snapshot_id)
+        if split is None:
+            clean, groups = list(files), []
+        else:
+            clean, groups = split
+        parts = [
+            self._read_group(schema, ps, eq, pos, file_col=file_col, pos_col=pos_col)
+            for ps, eq, pos in groups
+        ]
         if clean:
             parts.append(
-                self.spark.read.schema(schema)
-                .parquet(*clean)
-                .withColumn(file_col, F.input_file_name())
-            )
-        if targeted:
-            keys = self.spark.read.parquet(*key_files).select("doc_id")
-            parts.append(
-                self.spark.read.schema(schema)
-                .parquet(*sorted(targeted))
-                .withColumn(file_col, F.input_file_name())
-                .join(F.broadcast(keys), "doc_id", "left_anti")
+                self._read_group(schema, clean, [], [], file_col=file_col, pos_col=pos_col)
             )
         df = parts[0]
         for p in parts[1:]:
@@ -992,11 +1080,31 @@ class TokenTable:
         for e in entries:
             p = per_part.setdefault(
                 e["partition"],
-                {"files": 0, "rows": 0, "bytes": 0, "min_doc_id": None, "max_doc_id": None},
+                {
+                    "files": 0,
+                    "rows": 0,
+                    "bytes": 0,
+                    "min_doc_id": None,
+                    "max_doc_id": None,
+                    "min_n_tok": None,
+                    "max_n_tok": None,
+                },
             )
             p["files"] += 1
             p["rows"] += e["n_rows"]
             p["bytes"] += e["file_size"]
+            if e["min_n_tok"] is not None:
+                p["min_n_tok"] = (
+                    e["min_n_tok"]
+                    if p["min_n_tok"] is None
+                    else min(p["min_n_tok"], e["min_n_tok"])
+                )
+            if e["max_n_tok"] is not None:
+                p["max_n_tok"] = (
+                    e["max_n_tok"]
+                    if p["max_n_tok"] is None
+                    else max(p["max_n_tok"], e["max_n_tok"])
+                )
             if e["min_doc_id"] is not None:
                 p["min_doc_id"] = (
                     e["min_doc_id"]
@@ -1038,39 +1146,31 @@ class TokenTable:
                     [T.StructField(S.ROW_HASH_COL, T.LongType(), True)]
                 )
                 hashes = self.spark.read.schema(schema).parquet(*paths)
-                entries = self.delete_entries(snapshot_id)
-                if entries:
+                split = self._delete_groups(paths, snapshot_id)
+                if split is not None:
                     # pending MOR deletes: targeted files contribute only
-                    # their surviving rows — re-read them with doc_id for
-                    # the anti-join, still no token decode
-                    pset = set(paths)
-                    targeted: set[str] = set()
-                    key_files: list[str] = []
-                    for e in entries:
-                        hit = pset.intersection(e["targets"])
-                        if hit:
-                            targeted.update(hit)
-                            key_files.append(e["file_path"])
-                    if targeted:
-                        clean = [p for p in paths if p not in targeted]
-                        keys = self.spark.read.parquet(*key_files).select("doc_id")
-                        two = T.StructType(
-                            [
-                                T.StructField("doc_id", T.StringType(), True),
-                                T.StructField(S.ROW_HASH_COL, T.LongType(), True),
-                            ]
-                        )
-                        dirty = (
-                            self.spark.read.schema(two)
-                            .parquet(*sorted(targeted))
-                            .join(F.broadcast(keys), "doc_id", "left_anti")
-                            .select(S.ROW_HASH_COL)
-                        )
-                        hashes = (
-                            self.spark.read.schema(schema).parquet(*clean).unionByName(dirty)
-                            if clean
-                            else dirty
-                        )
+                    # their surviving rows — re-read them per target-group
+                    # (doc_id added only for equality-keyed groups; a
+                    # positional group anti-joins on the hidden metadata
+                    # columns alone), still no token decode
+                    clean, groups = split
+                    two = T.StructType(
+                        [
+                            T.StructField("doc_id", T.StringType(), True),
+                            T.StructField(S.ROW_HASH_COL, T.LongType(), True),
+                        ]
+                    )
+                    parts = [
+                        self._read_group(
+                            two if eq else schema, ps, eq, pos
+                        ).select(S.ROW_HASH_COL)
+                        for ps, eq, pos in groups
+                    ]
+                    if clean:
+                        parts.append(self.spark.read.schema(schema).parquet(*clean))
+                    hashes = parts[0]
+                    for p in parts[1:]:
+                        hashes = hashes.unionByName(p)
                 row = (
                     hashes.agg(
                         F.count(S.ROW_HASH_COL).alias("n_hashed"),

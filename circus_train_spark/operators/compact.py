@@ -114,30 +114,31 @@ def _rewrite_group(
     group: FileGroup,
     entry_by_path: dict[str, dict],
     event_id: str,
-    delete_targets: set[str] | None = None,
-    delete_key_files: list[str] | None = None,
+    snapshot_id: int | None = None,
 ) -> tuple[FileGroup, list[dict], float]:
     """Read the group's files and write them back as one file. Runs in a
     driver worker thread; the heavy lifting is one single-task Spark job.
 
-    Files targeted by pending merge-on-read delete files have their deleted
-    keys anti-joined away during the rewrite (that is what *purges* the
-    delete file); untargeted group members are read verbatim so a
+    Files targeted by pending merge-on-read delete files (equality OR
+    positional) have their deleted keys anti-joined away during the rewrite
+    via the catalog's per-entry-scoped group reader (that is what *purges*
+    the delete files); untargeted group members are read verbatim so a
     re-inserted key is never suppressed."""
     t0 = time.monotonic()
     out_dir = os.path.join(table.data_dir, event_id, f"g-{group.group_id}")
     schema = _rewrite_schema(table)
-    targeted = sorted(set(group.files) & (delete_targets or set()))
-    clean = [p for p in group.files if p not in set(targeted)]
+    split = table._delete_groups(list(group.files), snapshot_id)
+    targeted = split is not None
     if targeted:
-        keys = table.spark.read.parquet(*delete_key_files).select("doc_id")
-        df = (
-            table.spark.read.schema(schema)
-            .parquet(*targeted)
-            .join(F.broadcast(keys), "doc_id", "left_anti")
-        )
+        clean, dgroups = split
+        parts = [
+            table._read_group(schema, ps, eq, pos) for ps, eq, pos in dgroups
+        ]
         if clean:
-            df = table.spark.read.schema(schema).parquet(*clean).unionByName(df)
+            parts.append(table.spark.read.schema(schema).parquet(*clean))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
     else:
         df = table.spark.read.schema(schema).parquet(*group.files)
     df = df.withColumn(S.WRITE_PART_COL, F.col("source"))
@@ -189,10 +190,8 @@ def compact(
     # purges the delete files
     del_entries = table.delete_entries(base.snapshot_id)
     delete_targets: set[str] = set()
-    delete_key_files: list[str] = []
     for de in del_entries:
         delete_targets.update(de["targets"])
-        delete_key_files.append(de["file_path"])
     groups = plan_compaction_groups(
         entries,
         target_file_bytes,
@@ -230,8 +229,7 @@ def compact(
                 g,
                 entry_by_path,
                 event_id,
-                delete_targets,
-                delete_key_files,
+                base.snapshot_id,
             )
             for g in todo
         ]

@@ -36,7 +36,6 @@ import os
 import time
 from dataclasses import dataclass
 
-import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
@@ -79,6 +78,36 @@ def _strip(p: str) -> str:
     return p
 
 
+def _write_key_file(df, dest_path: str) -> int:
+    """Write a (small) delete-key DataFrame to ONE parquet file with Spark —
+    executor-side, no driver key materialization — and return its row count
+    (from the written footer, a metadata read). ``coalesce(1)`` is safe
+    here: MOR is gated to low-matched-fraction deletes, so the key set is
+    small by construction."""
+    staging = dest_path + ".staging"
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(
+        p for p in sorted(os.listdir(staging))
+        if p.startswith("part-") and p.endswith(".parquet")
+    )
+    os.replace(os.path.join(staging, part), dest_path)
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return pq.read_metadata(dest_path).num_rows
+
+
+def _mor_fits(matched, rows_by_file, partial, mor_max_fraction: float) -> bool:
+    """The merge-on-read guard, enforced in EVERY mor-flavored mode (not
+    just ``auto``): the per-file matched counts are already in hand from
+    the classify job, so a broad predicate never funnels a huge key set
+    into delete files a scan must then anti-join — it falls back to
+    copy-on-write instead."""
+    part_rows = sum(rows_by_file[f] for f in partial)
+    part_matched = sum(matched[f] for f in partial)
+    return part_matched <= mor_max_fraction * part_rows
+
+
 def _classify(table: TokenTable, base, predicate: str, doc_id_range, n_tok_range):
     """One job: per-file matched-row counts for every non-pruned file."""
     entries = table.manifest_entries(base.snapshot_id)
@@ -114,22 +143,33 @@ def delete_where(
 
     - ``"cow"`` — copy-on-write (default): partially-matched files are
       rewritten without the matching rows.
-    - ``"mor"`` — merge-on-read: instead of rewriting, the matched keys are
-      written to a small equality-delete file targeting the partially-
-      matched data files; scans anti-join it away and compaction purges it.
-      A 1-row delete then rewrites ZERO data files — the write-amplification
-      cure for frequent small deletes at 100 TB (a 1-row copy-on-write
-      delete rewrites a whole ~512 MB file). Fully-matched files are still
-      dropped metadata-only in both modes.
-    - ``"auto"`` — ``mor`` when the matched fraction of the partially-
-      matched files' rows is below ``mor_max_fraction``, else ``cow``
-      (don't accumulate huge delete files a scan must then anti-join).
+    - ``"mor"`` — merge-on-read, equality keys: instead of rewriting, the
+      matched ``doc_id`` keys are written to a small equality-delete file
+      targeting the partially-matched data files; scans anti-join it away
+      and compaction purges it. A 1-row delete then rewrites ZERO data
+      files — the write-amplification cure for frequent small deletes at
+      100 TB (a 1-row copy-on-write delete rewrites a whole ~512 MB file).
+      Fully-matched files are still dropped metadata-only in all modes.
+    - ``"mor-pos"`` — merge-on-read, positional keys: the delete file
+      records ``(file_path, row_pos)`` of the matched rows
+      (``_metadata.row_index``), the Iceberg position-delete analogue.
+      Cheaper to apply on scans than equality keys (no doc_id decode on
+      the data side) and exact even if a key value recurs.
+    - ``"auto"`` — merge-on-read when the matched fraction of the
+      partially-matched files' rows is below ``mor_max_fraction``, else
+      ``cow``. Auto picks POSITIONAL keys: the classify job has already
+      located the matched rows by file, so positions are in hand.
+
+    Every mor-flavored mode enforces ``mor_max_fraction`` — a broad
+    predicate with an explicit ``mode="mor"`` falls back to copy-on-write
+    (recorded as ``requested_mode`` in the commit summary) instead of
+    funneling a huge key set through delete files.
 
     While MOR deletes are pending, manifest ``n_rows``/``table_stats`` count
     physical rows (pre-delete), as in any merge-on-read format; ``scan`` and
     ``table_digest`` reflect the logical table.
     """
-    if mode not in ("cow", "mor", "auto"):
+    if mode not in ("cow", "mor", "mor-pos", "auto"):
         raise ValueError(f"unknown delete mode {mode!r}")
     t0 = time.monotonic()
     event_id = run_id or new_event_id()
@@ -150,35 +190,42 @@ def delete_where(
 
     use_mor = False
     if partial and mode != "cow":
-        if mode == "mor":
-            use_mor = True
-        else:
-            part_rows = sum(rows_by_file[f] for f in partial)
-            part_matched = sum(matched[f] for f in partial)
-            use_mor = part_matched <= mor_max_fraction * part_rows
+        use_mor = _mor_fits(matched, rows_by_file, partial, mor_max_fraction)
+    positional = use_mor and mode in ("mor-pos", "auto")
 
     added: list[dict] = []
     added_deletes: list[dict] = []
     if partial and use_mor:
-        # equality-delete file: ONLY the matched keys (8-40 B/row), scoped
-        # to the files they live in. scan()'s anti-join sees a broadcast of
-        # these keys; no data file is read or rewritten here beyond the
-        # key projection.
+        # delete-key file: ONLY the matched keys (8-40 B/row), scoped to
+        # the files they live in, written executor-side by Spark. scan()'s
+        # anti-join sees a broadcast of these keys; no data file is read or
+        # rewritten here beyond the key projection.
         key_dir = os.path.join(table.data_dir, event_id, "deletes")
         os.makedirs(key_dir, exist_ok=True)
-        key_path = os.path.join(key_dir, f"eq-delete-{event_id}.parquet")
         pred = F.expr(predicate)
-        keys = (
-            table.scan(files=partial)
-            .filter(pred)
-            .select("doc_id")
-            .toPandas()  # matched keys are small by MOR choice
-        )
-        pq.write_table(
-            pa.table({"doc_id": keys["doc_id"].astype(str).tolist()}), key_path
-        )
+        kind = "pos" if positional else "eq"
+        key_path = os.path.join(key_dir, f"{kind}-delete-{event_id}.parquet")
+        if positional:
+            keys = (
+                table.scan_tagged(partial, file_col="_file", pos_col="_pos")
+                .filter(pred)
+                .select(
+                    F.regexp_replace(F.col("_file"), "^file:/+", "/").alias(
+                        "file_path"
+                    ),
+                    F.col("_pos").alias("row_pos"),
+                )
+            )
+        else:
+            keys = table.scan(files=partial).filter(pred).select("doc_id")
+        n_keys = _write_key_file(keys, key_path)
         added_deletes = [
-            {"file_path": key_path, "n_keys": int(len(keys)), "targets": partial}
+            {
+                "file_path": key_path,
+                "kind": kind,
+                "n_keys": n_keys,
+                "targets": partial,
+            }
         ]
     elif partial:
         pred = F.expr(predicate)
@@ -211,7 +258,8 @@ def delete_where(
         added_deletes=added_deletes,
         summary={
             "predicate": predicate,
-            "mode": "mor" if use_mor else "cow",
+            "mode": ("mor-pos" if positional else "mor") if use_mor else "cow",
+            "requested_mode": mode,
             "rows_deleted": rows_deleted,
             "files_dropped_metadata_only": len(dropped),
             "files_rewritten": 0 if use_mor else len(partial),
@@ -262,6 +310,7 @@ def update_where(
     doc_id_range: tuple[str, str] | None = None,
     n_tok_range: tuple[int, int] | None = None,
     mode: str = "cow",
+    mor_max_fraction: float = 0.05,
     run_id: str | None = None,
 ) -> UpdateResult:
     """``UPDATE ... SET col = <sql expr> WHERE predicate``; expressions may
@@ -273,7 +322,12 @@ def update_where(
     proportional to matched rows, not touched files (the Iceberg
     merge-on-read UPDATE shape: delete + re-insert in one commit). The new
     rows live in fresh, untargeted files, so the delete keys never suppress
-    them."""
+    them. The MOR path is single-pass: the touched files are scanned once
+    to write the new row versions, and the delete keys are then derived
+    from the new files' (column-pruned, small) ``doc_id`` column. As in
+    ``delete_where``, explicit ``mode="mor"`` falls back to copy-on-write
+    when the matched fraction exceeds ``mor_max_fraction`` (recorded as
+    ``requested_mode``)."""
     if mode not in ("cow", "mor"):
         raise ValueError(f"unknown update mode {mode!r}")
     t0 = time.monotonic()
@@ -289,6 +343,7 @@ def update_where(
     entries, paths, matched, n_pruned = _classify(
         table, base, predicate, doc_id_range, n_tok_range
     )
+    rows_by_file = {e["file_path"]: e["n_rows"] for e in entries}
     rows_updated = sum(matched.values())
     touched = sorted(matched)
     if not touched:
@@ -298,9 +353,15 @@ def update_where(
 
     pred = F.expr(predicate)
     added_deletes: list[dict] = []
-    if mode == "mor":
+    use_mor = mode == "mor" and _mor_fits(
+        matched, rows_by_file, touched, mor_max_fraction
+    )
+    if use_mor:
         # new versions of ONLY the matched rows; old versions suppressed by
-        # an equality-delete file targeting their current files
+        # an equality-delete file targeting their current files. ONE scan of
+        # the touched files: the keys are re-derived afterwards from the
+        # freshly written (small) new files' doc_id column — a column-pruned
+        # read of matched-rows-sized files, not a second touched-file scan.
         out = table.scan(files=touched).filter(pred).select(
             *[
                 F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
@@ -313,12 +374,17 @@ def update_where(
         key_dir = os.path.join(table.data_dir, event_id, "deletes")
         os.makedirs(key_dir, exist_ok=True)
         key_path = os.path.join(key_dir, f"eq-delete-{event_id}.parquet")
-        keys = table.scan(files=touched).filter(pred).select("doc_id").toPandas()
-        pq.write_table(
-            pa.table({"doc_id": keys["doc_id"].astype(str).tolist()}), key_path
-        )
+        keys = table.spark.read.parquet(
+            *[e["file_path"] for e in added]
+        ).select("doc_id")
+        n_keys = _write_key_file(keys, key_path)
         added_deletes = [
-            {"file_path": key_path, "n_keys": int(len(keys)), "targets": touched}
+            {
+                "file_path": key_path,
+                "kind": "eq",
+                "n_keys": n_keys,
+                "targets": touched,
+            }
         ]
         removed: set[str] = set()
     else:
@@ -362,7 +428,8 @@ def update_where(
         summary={
             "predicate": predicate,
             "assignments": assignments,
-            "mode": mode,
+            "mode": "mor" if use_mor else "cow",
+            "requested_mode": mode,
             "rows_updated": rows_updated,
             "files_rewritten": len(removed),
             "delete_files_written": len(added_deletes),

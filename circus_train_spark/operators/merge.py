@@ -160,16 +160,33 @@ def merge_into(
 
     data_cols = [f.name for f in table.data_schema().fields]
     changes = changes.select(*data_cols, "_op").cache()
-    # ONE aggregation pass over the change set replaces three serial
-    # driver-blocking jobs (count, distinct-count, upsert-count): each was a
-    # full pass whose latency serializes ahead of the real work and was the
-    # worst scaler in the round-1 bench (merge 0.53 N->4N efficiency).
-    pre = changes.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct("doc_id").alias("nd"),
-        F.count(F.when(F.col("_op") == "upsert", 1)).alias("nu"),
-    ).collect()[0]
-    n_changes, n_distinct, n_upserts = pre["n"], pre["nd"], pre["nu"]
+    # Single bounded pre-pass: the common small-churn merge (change set
+    # under the driver-prune threshold) collects its (doc_id, _op) pairs
+    # ONCE and derives count / duplicate-key validation / upsert-count /
+    # sorted prune keys driver-side — zero further pre-jobs before the
+    # probe. Only an over-threshold change set pays the aggregation pass
+    # (which itself replaced three serial jobs in round 1; merge was the
+    # worst scaler at 0.53 N->4N before that). CollectLimit executes
+    # incrementally, so the small-path peek never scans a huge change set.
+    head = (
+        changes.select("doc_id", "_op")
+        .limit(driver_prune_threshold_keys + 1)
+        .collect()
+    )
+    if len(head) <= driver_prune_threshold_keys:
+        n_changes = len(head)
+        n_upserts = sum(1 for r in head if r["_op"] == "upsert")
+        key_set = {r["doc_id"] for r in head}
+        n_distinct = len(key_set)
+        small_path_keys: list[str] | None = sorted(key_set)
+    else:
+        pre = changes.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("doc_id").alias("nd"),
+            F.count(F.when(F.col("_op") == "upsert", 1)).alias("nu"),
+        ).collect()[0]
+        n_changes, n_distinct, n_upserts = pre["n"], pre["nd"], pre["nu"]
+        small_path_keys = None
     if n_distinct != n_changes:
         changes.unpersist()
         raise ValueError(
@@ -185,15 +202,12 @@ def merge_into(
 
     keys = changes.select("doc_id")  # keys are distinct (validated above)
 
-    # 1. stats-based file pruning — size-adaptive: small change sets are
-    # collected (they're cached and tiny) and pruned driver-side with a
-    # binary search; large ones go through the distributed prefix-bucket
-    # join. Saves a whole Spark job of scheduling latency on the common
-    # small-churn merge.
+    # 1. stats-based file pruning — size-adaptive: small change sets were
+    # already collected above and are pruned driver-side with a binary
+    # search; large ones go through the distributed prefix-bucket join.
     entries = table.manifest_entries(base.snapshot_id)
-    if n_changes <= driver_prune_threshold_keys:
-        sorted_keys = sorted(r["doc_id"] for r in keys.collect())
-        candidates, n_pruned_stats = _prune_by_stats_local(entries, sorted_keys)
+    if small_path_keys is not None:
+        candidates, n_pruned_stats = _prune_by_stats_local(entries, small_path_keys)
     else:
         candidates, n_pruned_stats = _prune_by_stats(entries, keys)
 

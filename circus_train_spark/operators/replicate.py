@@ -192,11 +192,22 @@ def replicate(
 
     snap = None
     if added or removed or artifacts_to_bind:
+        # partition-granularity column statistics travel WITH the replica
+        # commit (the reference copies table- and partition-level
+        # ColumnStatistics to the replica in 1000-partition batches,
+        # core/replica/Replica.java:250-267). Here they are folded from the
+        # source's per-file manifest stats — metadata-only, one dict entry
+        # per replicated partition — so a replica reader gets explicit
+        # partition stats without re-aggregating files.
+        src_part_stats = source.table_stats(src_snap.snapshot_id)["partitions"]
         summary = {
             "mode": mode,
             "source_snapshot": src_snap.snapshot_id,
             "partitions": len(todo),
             "dropped_partitions": len(dropped),
+            "partition_stats": {
+                p: src_part_stats[p] for p in todo if p in src_part_stats
+            },
         }
         if artifacts_to_bind:
             summary["artifacts"] = replica.bind_artifacts_from(source)

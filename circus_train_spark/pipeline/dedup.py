@@ -261,10 +261,14 @@ def lsh_candidate_pairs(
     in-bucket quadratic join.
 
     Cache lifecycle: two intermediates are persisted (see comments below).
-    Direct callers own them — unpersist after materializing the pairs, or
-    pass ``_caches`` (a list) to receive the cached DataFrames and release
-    them yourself; ``minhash_dedup`` does exactly that so repeated dedup
-    calls in a long-lived session don't accumulate cached partitions.
+    By default (``_caches=None``) the pair set is eagerly materialized
+    (``localCheckpoint``) and both caches are released before returning, so
+    a bare call never leaks persisted partitions into a long-lived session.
+    Composing callers that want to keep the plan lazy (e.g.
+    ``minhash_dedup``, which feeds the pairs into a Jaccard re-join while
+    the signature cache is still hot) pass ``_caches`` (a list) to receive
+    the cached DataFrames and MUST unpersist them after materializing
+    whatever they derive from the pairs.
     """
     r = num_hashes // bands
     # Materialize (id, minhash) BEFORE banding: the band/bucket expressions
@@ -317,6 +321,11 @@ def lsh_candidate_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
+    if _caches is None:
+        # own the caches: materialize the (small) pair set, release both
+        pairs = pairs.localCheckpoint(eager=True)
+        with_sig.unpersist()
+        sized.unpersist()
     return pairs
 
 

@@ -382,6 +382,7 @@ def train_bpe(
     min_count: int = 2,
     tokens_col: str = "tokens",
     checkpoint_every: int = 4,
+    checkpoint_dir: str | None = None,
 ) -> tuple[list[tuple[int, int, int, int]], DataFrame]:
     """Iterate count -> argmax non-self pair -> merge-apply ``n_merges``
     times: distributed BPE vocabulary induction from the corpus.
@@ -393,12 +394,17 @@ def train_bpe(
     Each iteration is one pair-count aggregation (map-side combined 8-byte
     pairs) plus one scan-local fold — no token-row shuffle anywhere. The
     plan is checkpointed every ``checkpoint_every`` merges so Catalyst
-    never sees an ``n_merges``-deep fold tower; at full scale substitute a
-    parquet round-trip for ``localCheckpoint`` to keep executor storage
-    flat.
+    never sees an ``n_merges``-deep fold tower. ``checkpoint_dir=None``
+    (default) uses ``localCheckpoint`` — executor storage, right for
+    interactive scale; at full corpus scale pass a directory and the
+    checkpoint becomes a parquet round-trip (alternating subdirs, previous
+    generation deleted), keeping executor storage flat and making the loop
+    resumable from durable files. Both modes produce the identical merge
+    sequence (pinned by test).
     """
     merges: list[tuple[int, int, int, int]] = []
     df = tokens_df
+    ckpt_gen = 0
     for j in range(n_merges):
         top = (
             token_pair_counts(df, tokens_col=tokens_col)
@@ -414,7 +420,22 @@ def train_bpe(
         merges.append((a, b, new_id, n))
         df = apply_bpe_merge(df, a, b, new_id, tokens_col=tokens_col)
         if (j + 1) % checkpoint_every == 0:
-            df = df.localCheckpoint(eager=True)
+            if checkpoint_dir is None:
+                df = df.localCheckpoint(eager=True)
+            else:
+                import os
+                import shutil
+
+                spark = df.sparkSession
+                path = os.path.join(checkpoint_dir, f"bpe-ckpt-{ckpt_gen % 2}")
+                df.write.mode("overwrite").parquet(path)
+                df = spark.read.parquet(path)
+                # the superseded generation is only reaped AFTER the new
+                # one has fully landed and been re-bound (crash-safe order)
+                stale = os.path.join(checkpoint_dir, f"bpe-ckpt-{(ckpt_gen + 1) % 2}")
+                if ckpt_gen >= 1 and os.path.isdir(stale):
+                    shutil.rmtree(stale, ignore_errors=True)
+                ckpt_gen += 1
     return merges, df
 
 

@@ -132,7 +132,7 @@ def test_mor_delete_scan_equals_cow_delete(spark, tmp_path, tokens_df):
     t_mor = TokenTable.create(spark, str(tmp_path / "mor"))
     t_mor.append(tokens_df, num_files=8)
     delete_where(t_cow, pred, mode="cow")
-    res = delete_where(t_mor, pred, mode="mor")
+    res = delete_where(t_mor, pred, mode="mor", mor_max_fraction=1.0)
     assert res.files_rewritten == 0 and res.delete_files_written == 1
     assert table_digest(t_mor.scan()) == table_digest(t_cow.scan())
     # fast digest (hidden row-hash column) agrees with the logical scan
@@ -155,7 +155,7 @@ def test_compact_applies_and_purges_mor_deletes(spark, tmp_path, tokens_df):
     t.append(tokens_df, num_files=8)
     pred = "n_tok % 11 = 3"
     expected = table_digest(tokens_df.filter(f"NOT ({pred})"))
-    res = delete_where(t, pred, mode="mor")
+    res = delete_where(t, pred, mode="mor", mor_max_fraction=1.0)
     assert res.delete_files_written == 1
     assert t.delete_entries(), "delete entry must be pending before compact"
     assert table_digest(t.scan()) == expected
@@ -199,7 +199,7 @@ def test_mor_delete_files_tracked_by_housekeeping(spark, tmp_path, tokens_df):
 
     t = TokenTable.create(spark, str(tmp_path / "tbl"))
     t.append(tokens_df, num_files=4)
-    delete_where(t, "n_tok % 17 = 2", mode="mor")
+    delete_where(t, "n_tok % 17 = 2", mode="mor", mor_max_fraction=1.0)
     key_file = t.delete_entries()[0]["file_path"]
     future = 10**15  # far past any grace period
     remove_orphan_files(t, now_ms=future)
@@ -222,7 +222,7 @@ def test_mor_update_write_amp_and_content(spark, tmp_path, tokens_df):
     pred, assign = "n_tok % 9 = 4", {"source": "concat(source, '_u')"}
     update_where(t_cow, pred, assign, mode="cow")
     files_before = {e["file_path"] for e in t_mor.manifest_entries()}
-    res = update_where(t_mor, pred, assign, mode="mor")
+    res = update_where(t_mor, pred, assign, mode="mor", mor_max_fraction=1.0)
     assert res.files_rewritten == 0 and res.delete_files_written == 1
     assert files_before < {e["file_path"] for e in t_mor.manifest_entries()}
     assert table_digest(t_mor.scan()) == table_digest(t_cow.scan())
@@ -265,7 +265,7 @@ def test_mor_delete_state_survives_concurrent_rebase(spark, tmp_path, tokens_df)
     # stage an append against `base`, then land a MoR delete first
     extra = tokens_df.limit(450).subtract(tokens_df.limit(400)).limit(20)
     entries = t.write_data_files(extra, "cc-append", num_files=1)
-    res = delete_where(t, "n_tok < 32", mode="mor", verify=False)
+    res = delete_where(t, "n_tok < 32", mode="mor", mor_max_fraction=1.0, verify=False)
     assert res.delete_files_written >= 1
     n_after_delete = t.scan().count()
     assert n_after_delete < 400
@@ -280,3 +280,131 @@ def test_mor_delete_state_survives_concurrent_rebase(spark, tmp_path, tokens_df)
     compact(t, target_file_bytes=512 * 1024 * 1024, verify=False)
     assert not t.delete_manifests()
     assert t.table_digest() == d_before
+
+
+# ------------------------------------------------- positional delete files
+
+
+def test_pos_delete_writes_zero_data_files(table, tokens_df):
+    """mode='mor-pos': the delete file records (file_path, row_pos) of the
+    matched rows; zero data files rewritten or dropped."""
+    victim = tokens_df.select("doc_id").orderBy("doc_id").first()["doc_id"]
+    files_before = {e["file_path"] for e in table.manifest_entries()}
+    res = delete_where(table, f"doc_id = '{victim}'", mode="mor-pos")
+    assert res.rows_deleted == 1
+    assert res.files_rewritten == 0 and res.files_dropped == 0
+    assert res.delete_files_written == 1
+    assert {e["file_path"] for e in table.manifest_entries()} == files_before
+    (entry,) = table.delete_entries()
+    assert entry["kind"] == "pos"
+    assert entry["n_keys"] == 1
+    assert table.scan().filter(F.col("doc_id") == victim).count() == 0
+    assert table.current_snapshot().summary["mode"] == "mor-pos"
+
+
+def test_pos_delete_scan_equals_cow_delete(spark, tmp_path, tokens_df):
+    pred = "n_tok % 13 = 5"
+    t_cow = TokenTable.create(spark, str(tmp_path / "cow"))
+    t_cow.append(tokens_df, num_files=8)
+    t_pos = TokenTable.create(spark, str(tmp_path / "pos"))
+    t_pos.append(tokens_df, num_files=8)
+    delete_where(t_cow, pred, mode="cow")
+    res = delete_where(t_pos, pred, mode="mor-pos", mor_max_fraction=1.0)
+    assert res.files_rewritten == 0 and res.delete_files_written == 1
+    assert table_digest(t_pos.scan()) == table_digest(t_cow.scan())
+    assert t_pos.table_digest(fast=True) == t_cow.table_digest(fast=True)
+
+
+def test_pos_delete_exact_when_key_recurs(spark, tmp_path, tokens_df):
+    """Positional deletes are exact even when the same doc_id legitimately
+    recurs in the table: only the physically-matched row is suppressed,
+    not every row with that key."""
+    t = TokenTable.create(spark, str(tmp_path / "dup"))
+    dup = tokens_df.limit(50)
+    t.append(tokens_df.limit(200), num_files=2)
+    t.append(dup.withColumn("source", F.lit("dupe")), num_files=1)  # same keys
+    n_total = t.scan().count()
+    res = delete_where(
+        t, "source = 'dupe' AND n_tok % 2 = 0", mode="mor-pos", mor_max_fraction=1.0
+    )
+    assert res.delete_files_written == 1
+    assert t.scan().count() == n_total - res.rows_deleted
+    # the original copies of the deleted keys must all survive
+    victims = [
+        r["doc_id"]
+        for r in dup.filter("n_tok % 2 = 0").select("doc_id").collect()
+    ]
+    survivors = t.scan().filter(F.col("doc_id").isin(victims))
+    assert survivors.count() == len(victims)
+    assert survivors.filter("source = 'dupe'").count() == 0
+
+
+def test_auto_mode_prefers_positional(table):
+    res = delete_where(table, "n_tok = 77", mode="auto")
+    if res.rows_deleted and res.delete_files_written:
+        (entry,) = table.delete_entries()
+        assert entry["kind"] == "pos"
+        assert table.current_snapshot().summary["mode"] == "mor-pos"
+
+
+def test_pos_delete_stacks_and_compacts(spark, tmp_path, tokens_df):
+    """Two stacked positional deletes on the same files apply cumulatively;
+    compaction purges both and preserves the logical content."""
+    from circus_train_spark.operators.compact import compact
+
+    t = TokenTable.create(spark, str(tmp_path / "stack"))
+    t.append(tokens_df, num_files=4)
+    delete_where(t, "n_tok % 29 = 3", mode="mor-pos", mor_max_fraction=1.0)
+    delete_where(t, "n_tok % 29 = 7", mode="mor-pos", mor_max_fraction=1.0)
+    assert len(t.delete_entries()) == 2
+    expected = table_digest(
+        tokens_df.filter("NOT (n_tok % 29 = 3 OR n_tok % 29 = 7)")
+    )
+    assert table_digest(t.scan()) == expected
+    compact(t, target_file_bytes=512 * 1024 * 1024)
+    assert t.delete_entries() == []
+    assert table_digest(t.scan()) == expected
+
+
+def test_mixed_eq_and_pos_deletes_on_same_files(spark, tmp_path, tokens_df):
+    """Equality and positional delete files pending against the SAME data
+    files compose correctly (per-kind scoped anti-joins)."""
+    t = TokenTable.create(spark, str(tmp_path / "mixed"))
+    t.append(tokens_df, num_files=4)
+    delete_where(t, "n_tok % 23 = 1", mode="mor", mor_max_fraction=1.0)
+    delete_where(t, "n_tok % 23 = 2", mode="mor-pos", mor_max_fraction=1.0)
+    kinds = sorted(e["kind"] for e in t.delete_entries())
+    assert kinds == ["eq", "pos"]
+    expected = table_digest(
+        tokens_df.filter("NOT (n_tok % 23 = 1 OR n_tok % 23 = 2)")
+    )
+    assert table_digest(t.scan()) == expected
+    assert t.table_digest(fast=True) == table_digest(t.scan())
+
+
+# --------------------------------------------------- explicit-MOR guardrail
+
+
+def test_explicit_mor_broad_predicate_falls_back_to_cow(table):
+    """A broad predicate with explicit mode='mor' must NOT funnel a huge
+    key set through delete files: the default fraction cap falls back to
+    copy-on-write (requested mode recorded in the commit summary)."""
+    res = delete_where(table, "n_tok > 16", mode="mor")  # matches most rows
+    assert res.rows_deleted > 0
+    assert res.delete_files_written == 0  # fell back: no delete files
+    summary = table.current_snapshot().summary
+    assert summary["mode"] == "cow"
+    assert summary["requested_mode"] == "mor"
+    assert table.scan().filter("n_tok > 16").count() == 0
+
+
+def test_explicit_mor_update_broad_predicate_falls_back(table):
+    res = update_where(
+        table, "n_tok > 16", {"source": "concat(source, '_u')"}, mode="mor"
+    )
+    assert res.rows_updated > 0
+    assert res.delete_files_written == 0
+    assert table.current_snapshot().summary["requested_mode"] == "mor"
+    assert table.scan().filter(
+        "n_tok > 16 AND NOT source LIKE '%_u'"
+    ).count() == 0
