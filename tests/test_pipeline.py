@@ -407,3 +407,24 @@ class TestTemperatureMixture:
         again = temperature_mixture(df, alpha=0.5)
         assert kept.subtract(again).count() == 0
         assert again.subtract(kept).count() == 0
+
+
+def test_lsh_candidate_pairs_releases_caches_by_default(spark, docs):
+    """A bare lsh_candidate_pairs call must not leak persisted partitions:
+    it eagerly materializes the pair set and unpersists its two internal
+    caches before returning (composing callers opt out via _caches)."""
+    sc = spark.sparkContext
+    sig = dedup.with_minhash(docs.limit(200))
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=32, bands=16)
+    pairs.count()
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    # at most the localCheckpoint RDD backing the returned pairs survives;
+    # the two internal caches must be gone
+    assert len(after - before) <= 1
+    # and parity with the composing (lazy, caller-owned) path
+    caches: list = []
+    lazy = dedup.lsh_candidate_pairs(sig, num_hashes=32, bands=16, _caches=caches)
+    assert sorted(map(tuple, pairs.collect())) == sorted(map(tuple, lazy.collect()))
+    for c in caches:
+        c.unpersist()

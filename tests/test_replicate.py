@@ -196,3 +196,23 @@ def test_artifact_reattach_and_orphan_reclaim(spark, tmp_path, tokens_df):
     remove_orphan_files(t, now_ms=future)
     assert not os.path.exists(old_path)
     assert os.path.exists(new_path)
+
+
+def test_replica_commit_carries_partition_stats(spark, tmp_path, tokens_df):
+    """The replica's commit summary carries explicit partition-granularity
+    stats equal to the source-side aggregation (the Replica.java:250-267
+    ColumnStatistics-copy analogue, folded from per-file manifest stats)."""
+    src = TokenTable.create(spark, str(tmp_path / "src"))
+    src.append(tokens_df, num_files=4)
+    rep = TokenTable.create(spark, str(tmp_path / "rep"))
+    replicate(src, rep, mode="full")
+    carried = rep.current_snapshot().summary["partition_stats"]
+    want = src.table_stats()["partitions"]
+    assert set(carried) == set(want)
+    for p, st in want.items():
+        got = carried[p]
+        assert got["rows"] == st["rows"]
+        assert got["min_doc_id"] == st["min_doc_id"]
+        assert got["max_doc_id"] == st["max_doc_id"]
+        assert got["min_n_tok"] == st["min_n_tok"]
+        assert got["max_n_tok"] == st["max_n_tok"]

@@ -251,3 +251,28 @@ def test_bigram_logprob_hand_computation(spark):
     assert got[1] == (2, round((lp12 + lp23) / 2, 4))
     assert got[2] == (1, round(lp12, 4))
     assert 3 not in got  # single-token doc has no pairs
+
+
+def test_train_bpe_parquet_checkpoint_equals_local(spark, tmp_path):
+    """The at-scale parquet round-trip checkpoint mode must produce the
+    exact merge order and final token streams of the localCheckpoint mode."""
+    from circus_train_spark.pipeline.tokens import train_bpe
+
+    rows = [
+        (f"d{i}", [1, 2, 3, 1, 2, 3, 1, 2] * (i % 3 + 1) + [4, 5, 4, 5])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    m_local, out_local = train_bpe(df, n_merges=6, checkpoint_every=2)
+    m_pq, out_pq = train_bpe(
+        df, n_merges=6, checkpoint_every=2, checkpoint_dir=str(tmp_path / "ck")
+    )
+    assert m_local == m_pq
+    a = {r["doc_id"]: r["tokens"] for r in out_local.collect()}
+    b = {r["doc_id"]: r["tokens"] for r in out_pq.collect()}
+    assert a == b
+    # only the live checkpoint generation remains on disk
+    import os
+
+    gens = [d for d in os.listdir(tmp_path / "ck") if d.startswith("bpe-ckpt-")]
+    assert len(gens) == 1
