@@ -145,7 +145,7 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--where", required=True, help="SQL predicate over data columns")
     sp.add_argument(
         "--mode",
-        choices=["cow", "mor", "auto"],
+        choices=["cow", "mor", "mor-pos", "auto"],
         default="auto",
         help="copy-on-write rewrite, merge-on-read delete file, or "
         "auto (MOR when the touched-row fraction is small)",
