@@ -1,15 +1,15 @@
-"""Pooled N→4N scaling report over the 1.5 M-row tmpfs leg files.
+"""Pooled N→4N scaling report over the round-5 3 M-row tmpfs leg files.
 
-Round-4 pooling rule (documented in BENCH/BASELINE.md): every benched
-phase (append / compact / cluster / merge / scan) takes its per-level
-minimum over the final-code leg set (`BENCH_SCALING.jsonl`) plus the
-earlier round-4 sets (`BENCH/scaling_r4_set1.jsonl`,
-`BENCH/scaling_r4_set2_partial.jsonl`) — bench phases are code-identical
-across those commits (verified this round by the interleaved A/B probe
-against the round-3 tree, `BENCH/ab_cluster_probe.jsonl`, which showed
-phase parity even one whole round back). Per-phase min-of-N is the
-noise-resistant estimator for the shared, externally-loaded host; legs
-were interleaved (2, 8, 2, 8, …).
+Pooling rule (documented in BENCH/BASELINE.md, unchanged since round 4):
+every benched phase (append / compact / cluster / merge / scan) takes its
+per-level minimum over the final-code leg set (`BENCH_SCALING.jsonl`,
+round-5: interleaved set 2 plus two extra local[8] draws) plus the other
+round-5 set (`BENCH/scaling_r5_3M_set1.jsonl`) — bench phases are
+code-identical across those commits (only docs/bench-data commits sit
+between them). Per-phase min-of-N is the noise-resistant estimator for
+the shared, externally-loaded host; a `rows` filter keeps legs from other
+scales out of the pool. Leg counts per level are printed so asymmetric
+draws (the 8-cpu side is ~3× cheaper per leg) stay visible.
 
 Usage: python tools/scaling_report.py [final.jsonl [extra.jsonl ...]]
 """
@@ -34,8 +34,7 @@ def main() -> None:
         sys.argv[2:]
         if len(sys.argv) > 2
         else [
-            "BENCH/scaling_r4_set1.jsonl",
-            "BENCH/scaling_r4_set2_partial.jsonl",
+            "BENCH/scaling_r5_3M_set1.jsonl",
         ]
     )
     final = load(final_path)

@@ -23,6 +23,11 @@ def summarize(by=None) -> str:
     mins = {
         c: {p: min(r[p] for r in runs) for p in phases} for c, runs in by.items()
     }
+    if len(mins) < 2:
+        (c,) = mins
+        out = [f"single level local[{c}] — per-phase minima only:"]
+        out += [f"| {p:14} | {mins[c][p]:.1f} |" for p in phases]
+        return "\n".join(out)
     lo, hi = sorted(mins)
     a, b = mins[lo], mins[hi]
     ratio = hi / lo  # observed cpu ratio, NOT a hard-coded 4
