@@ -1849,6 +1849,21 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(e.filter(F.col("vec_id") != 0), list(q), k=10, n_planes=8)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: same seeded-hyperplane LSH
+    bucket AND exact cosine >= threshold — the vector-space analogue of
+    MinHash near-dup (candidate generation by bucketing, verification by
+    exact similarity; only same-bucket pairs are ever compared, so the
+    join is equi-keyed, never all-pairs). The synthetic embeddings carry
+    no planted near-dups, so the gate config (4 planes / 0.4) exercises a
+    non-trivial pair set; production defaults (8+ planes / 0.95) are the
+    same code path."""
+    from circus_train_spark.pipeline.similarity import embedding_near_dup_pairs
+
+    e = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.4, n_planes=4, seed=42)
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN with an arithmetic centroid pick (every (N/8)-th id) so
     the full pipeline — codebook, assignment, probe, rescore — is replicated
@@ -2182,6 +2197,44 @@ def _ann_oracle_sql(n_planes: int = 8, dim: int = 64, k: int = 10, seed: int = 4
         WHERE bit_count(xor(bucket, qbucket)) <= 1
         ORDER BY sim DESC, vec_id
         LIMIT {k}
+    """
+
+
+def _near_dup_oracle_sql(
+    n_planes: int = 4,
+    dim: int = 64,
+    threshold: float = 0.4,
+    seed: int = 42,
+    max_bucket: int = 10_000,
+) -> str:
+    """DuckDB replica of ``embedding_near_dup_pairs``: identical seeded
+    hyperplanes as SQL literals, identical sign-bucket ids, the same
+    bucket-size cap, and the same round-8 exact-cosine verification."""
+    from circus_train_spark.pipeline.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+
+    def bucket(v: str) -> str:
+        terms = [
+            f"(CASE WHEN list_dot_product({v}, {_sql_arr(p)}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        ]
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket('v')} AS bucket FROM e),
+        sized AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS n FROM b),
+        f AS (SELECT * FROM sized WHERE n <= {max_bucket})
+        SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+               round(list_dot_product(a.v, bb.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) *
+                      sqrt(list_dot_product(bb.v, bb.v))), 8) AS sim
+        FROM f a JOIN f bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+        WHERE round(list_dot_product(a.v, bb.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) *
+                     sqrt(list_dot_product(bb.v, bb.v))), 8) >= {threshold}
     """
 
 
@@ -2602,9 +2655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 dict entries, so each round the least-recently-gated
     # queries lead. Round-5 window: (a) the nine queries that had never had
     # a driver row through round 4, (b) the sixteen last gated in round 3,
-    # (c) this round's new query, (d) the core table-maintenance rows. The
-    # 26 parked entries at the back all have green round-4 driver rows, so
-    # the all-rounds union covers the full registry.
+    # (c) this round's two new queries, (d) the core table-maintenance rows.
+    # The 27 parked entries at the back all have green round-4 driver rows,
+    # so the all-rounds union covers the full registry.
     return {
         # (a) never driver-gated before round 5
         "bigram_logprob": q_bigram_logprob,
@@ -2635,6 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_vocab_topk": q_token_vocab_topk,
         # (c) new in round 5
         "tml_delete_pos_scan": q_tml_delete_pos_scan,
+        "embedding_near_dup": q_embedding_near_dup,
         # (d) token-table maintenance core (SURVEY §2, oracle = derived scan)
         "tml_append_scan": q_tml_append_scan,
         "tml_compact_scan": q_tml_compact_scan,
@@ -2660,8 +2714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # diff + replication (the reference's core pipeline)
         "table_diff": q_table_diff,
         "table_replicate_scan": q_table_replicate_scan,
-        "minhash_lsh_dedup": q_minhash_lsh_dedup,
         # ---- position 51+: parked this round, ALL green in round 4 ----
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
         # analytics
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
@@ -3004,6 +3058,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_corpus": _FILTER_CORPUS_SQL
         % (_TEXT_QUALITY_SQL, _LANG_ID_SQL, _REPETITION_SQL),
         "ann_topk": _ann_oracle_sql(),
+        "embedding_near_dup": _near_dup_oracle_sql(),
         "ivf_topk": _IVF_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         # xxhash64-based queries: DuckDB has no Spark-compatible xxhash64,
