@@ -120,6 +120,41 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--partition-filter", default=None)
     sp.add_argument("--partition-limit", type=int, default=None)
     sp.add_argument("--propagate-deletes", action="store_true")
+    sp.add_argument(
+        "--table-mapping",
+        action="append",
+        default=None,
+        metavar="src_db.src_tbl=dst_db.dst_tbl",
+        help="rewrite this table reference inside replicated view text "
+        "(repeatable; the hive-view HqlTranslator analogue)",
+    )
+
+    sp = sub.add_parser("create-view", help="store a named SQL view definition")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--name", required=True)
+    sp.add_argument("--sql", required=True)
+
+    sp = sub.add_parser("drop-view", help="drop a stored view definition")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--name", required=True)
+
+    sp = sub.add_parser("views", help="list stored view definitions")
+    sp.add_argument("--table", required=True)
+
+    sp = sub.add_parser(
+        "run-view",
+        help="execute a stored view with the table bound to a qualified name",
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--name", required=True)
+    sp.add_argument(
+        "--bind",
+        action="append",
+        default=None,
+        metavar="db.tbl",
+        help="qualified name(s) in the view text to bind to this table's scan",
+    )
+    sp.add_argument("--limit", type=int, default=20)
 
     sp = sub.add_parser("diff", help="source-vs-replica partition diff")
     sp.add_argument("--source", required=True)
@@ -349,8 +384,38 @@ def main(argv: list[str] | None = None) -> int:
                 partition_filter=pf,
                 partition_limit=a.partition_limit,
                 propagate_deletes=a.propagate_deletes,
+                table_mappings=dict(
+                    m.split("=", 1) for m in (a.table_mapping or [])
+                )
+                or None,
             )
         )
+        return 0
+
+    if a.cmd == "create-view":
+        t = TokenTable.load(spark, a.table)
+        snap = t.create_view(a.name, a.sql)
+        _json({"view": a.name, "snapshot": snap.snapshot_id})
+        return 0
+
+    if a.cmd == "drop-view":
+        t = TokenTable.load(spark, a.table)
+        snap = t.drop_view(a.name)
+        _json({"dropped": a.name, "snapshot": snap.snapshot_id})
+        return 0
+
+    if a.cmd == "views":
+        t = TokenTable.load(spark, a.table)
+        _json(t.views())
+        return 0
+
+    if a.cmd == "run-view":
+        from circus_train_spark.operators.views import run_view
+
+        t = TokenTable.load(spark, a.table)
+        bindings = {q: t for q in (a.bind or [])}
+        for r in run_view(t, a.name, bindings=bindings).limit(a.limit).collect():
+            _json(r.asDict())
         return 0
 
     if a.cmd == "diff":

@@ -345,6 +345,40 @@ class TokenTable:
             merged[name] = rel
         return merged
 
+    # ----------------------------------------------------------------- views
+    # Named SQL view definitions travelling WITH the table — the analogue of
+    # the reference's Hive-view replication, where the view's stored HQL is
+    # the replicated object and source table references inside it are
+    # rewritten to replica names (circus-train-hive-view/.../
+    # ViewTransformation.java:65-90, HqlTranslator.java:79-106). View text
+    # lives in snapshot summaries (carried forward like schema/artifacts),
+    # so views are snapshot-pinned, branch/time-travel aware, and cost zero
+    # data bytes. Execution and replication-time translation live in
+    # operators/views.py.
+
+    def create_view(self, name: str, hql: str) -> Snapshot:
+        """Store (or replace) a named SQL view definition in a metadata-only
+        commit. The text is stored verbatim; table references inside it are
+        bound at execution time (``operators.views.run_view``) and rewritten
+        at replication time (``operators.views.translate_views``)."""
+        if not name or not hql or not hql.strip():
+            raise ValueError("view name and SQL text are required")
+        views = dict(self.current_snapshot().summary.get("views", {}))
+        views[name] = hql
+        return self.commit(operation="create_view", summary={"views": views})
+
+    def drop_view(self, name: str) -> Snapshot:
+        views = dict(self.current_snapshot().summary.get("views", {}))
+        if name not in views:
+            raise KeyError(f"no such view: {name}")
+        del views[name]
+        # empty dict still stamps the key so the drop wins over carry-forward
+        return self.commit(operation="drop_view", summary={"views": views})
+
+    def views(self, snapshot_id: int | None = None) -> dict[str, str]:
+        """{view name: stored SQL text} as of a snapshot."""
+        return dict(self.snapshot(snapshot_id).summary.get("views", {}))
+
     # ------------------------------------------------------------ manifests
     def manifest_df(self, snapshot_id: int | None = None) -> DataFrame:
         """All live file entries for a snapshot, as a DataFrame."""
@@ -1023,6 +1057,11 @@ class TokenTable:
             parent_arts = parent.summary.get("artifacts")
             if parent_arts:
                 summary["artifacts"] = parent_arts
+        if "views" not in summary:
+            # stored view definitions ride with every snapshot, same rule
+            parent_views = parent.summary.get("views")
+            if parent_views:
+                summary["views"] = parent_views
         summary.setdefault("added_files", len(added))
         summary.setdefault("removed_files", len(removed_paths))
         summary.setdefault("added_rows", sum(e["n_rows"] for e in added))

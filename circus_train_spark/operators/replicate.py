@@ -72,6 +72,7 @@ def replicate(
     propagate_deletes: bool = False,
     target_file_bytes: int = 512 * 1024 * 1024,
     run_id: str | None = None,
+    table_mappings: dict[str, str] | None = None,
 ) -> ReplicationResult:
     """Replicate selected partitions of ``source`` into ``replica``.
 
@@ -190,8 +191,22 @@ def replicate(
     rep_arts = rep_snap.summary.get("artifacts", {})
     artifacts_to_bind = {n: p for n, p in src_arts.items() if rep_arts.get(n) != p}
 
+    # stored view definitions travel too, with their table references
+    # rewritten through the table mappings — the Hive-view replication
+    # analogue (ViewTransformation.java:65-90); merged over the replica's
+    # own views so a replica-local view survives re-replication.
+    from circus_train_spark.operators.views import translate_views
+
+    translated = translate_views(
+        source, table_mappings, snapshot_id=src_snap.snapshot_id
+    )
+    rep_views = dict(rep_snap.summary.get("views", {}))
+    views_to_bind = {
+        n: t for n, t in translated.items() if rep_views.get(n) != t
+    }
+
     snap = None
-    if added or removed or artifacts_to_bind:
+    if added or removed or artifacts_to_bind or views_to_bind:
         # partition-granularity column statistics travel WITH the replica
         # commit (the reference copies table- and partition-level
         # ColumnStatistics to the replica in 1000-partition batches,
@@ -211,6 +226,8 @@ def replicate(
         }
         if artifacts_to_bind:
             summary["artifacts"] = replica.bind_artifacts_from(source)
+        if views_to_bind:
+            summary["views"] = {**rep_views, **views_to_bind}
         snap = replica.commit(
             operation=OP,
             added=added,
