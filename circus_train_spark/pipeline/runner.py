@@ -149,7 +149,16 @@ def _run_one(spark: SparkSession, job: dict) -> dict:
             partition_filter=resolve_expressions(pf) if pf else None,
             partition_limit=job.get("partition_limit"),
             propagate_deletes=job.get("propagate_deletes", False),
+            table_mappings=job.get("table_mappings"),
         )
+    elif op == "create_view":
+        t = TokenTable.load(spark, job["table"])
+        snap = t.create_view(job["name"], job["sql"])
+        res = {"view": job["name"], "snapshot": snap.snapshot_id}
+    elif op == "drop_view":
+        t = TokenTable.load(spark, job["table"])
+        snap = t.drop_view(job["name"])
+        res = {"dropped": job["name"], "snapshot": snap.snapshot_id}
     elif op == "delete":
         from circus_train_spark.operators.delete import delete_where
 

@@ -99,3 +99,69 @@ def test_salted_join_equals_plain_join_property(spark, left, right, n_salts):
     got = sorted(tuple(x) for x in salted_join(l, r, on=["k"], n_salts=n_salts).collect())
     want = sorted(tuple(x) for x in l.join(r, ["k"], "inner").collect())
     assert got == want
+
+
+# --------------------------------------------------------- hql translation
+#
+# translate_hql is sequential textual substitution (by design — parity with
+# the reference's HqlTranslator replaceAll chain), so general idempotence
+# only holds when replacements cannot re-introduce a source form. These
+# properties construct that regime explicitly: source names carry a 'z'
+# that is excluded from every fragment and destination tail, so each
+# injected occurrence is a complete form and nothing else can match.
+
+_ZFREE_FRAG = st.text(
+    alphabet=st.characters(
+        codec="ascii", exclude_characters="`_zZ", exclude_categories=("Cc",)
+    ),
+    max_size=40,
+)
+_ZFREE_NAME = st.from_regex(r"[a-y][a-y0-9]{0,8}", fullmatch=True)
+
+
+@given(
+    frags=st.lists(_ZFREE_FRAG, min_size=5, max_size=5),
+    names=st.lists(_ZFREE_NAME, min_size=4, max_size=4),
+)
+def test_translate_hql_exact_rewrite_and_idempotence(frags, names):
+    from circus_train_spark.functions.hql import translate_hql
+
+    a, b, c, d = names
+    db, tbl, ddb, dtbl = f"z{a}", f"z{b}", f"r_{c}", f"w_{d}"
+    text = (
+        frags[0] + f"{db}.{tbl}" + frags[1] + f"{tbl}." + frags[2]
+        + f"`{db}`.`{tbl}`" + frags[3] + f"`{tbl}`." + frags[4]
+    )
+    mapping = {f"{db}.{tbl}": f"{ddb}.{dtbl}"}
+    once = translate_hql(text, mapping)
+    assert once == (
+        frags[0] + f"{ddb}.{dtbl}" + frags[1] + f"{dtbl}." + frags[2]
+        + f"`{ddb}`.`{dtbl}`" + frags[3] + f"`{dtbl}`." + frags[4]
+    )
+    # fixed point: a second pass finds nothing left to rewrite
+    assert translate_hql(once, mapping) == once
+    # identity mapping never changes any text
+    assert translate_hql(text, {f"{db}.{tbl}": f"{db}.{tbl}"}) == text
+
+
+@given(_ZFREE_FRAG, _ZFREE_NAME, _ZFREE_NAME)
+def test_translate_hql_untouched_without_source_forms(hql, a, b):
+    """Text that contains no source form (guaranteed: sources carry 'z',
+    the text is z-free) passes through byte-identical."""
+    from circus_train_spark.functions.hql import translate_hql
+
+    assert translate_hql(hql, {f"z{a}.z{b}": "r_db.w_tbl"}) == hql
+
+
+@given(_ZFREE_NAME, _ZFREE_NAME, _ZFREE_NAME, _ZFREE_NAME)
+def test_translate_hql_case_insensitive_match_preserves_replacement_case(
+    a, b, c, d
+):
+    from circus_train_spark.functions.hql import translate_hql
+
+    db, tbl = f"z{a}", f"z{b}"
+    got = translate_hql(
+        f"FROM {db.upper()}.{tbl.upper()} WHERE {tbl.upper()}.x = 1",
+        {f"{db}.{tbl}": f"r_{c}.w_{d}"},
+    )
+    assert got == f"FROM r_{c}.w_{d} WHERE w_{d}.x = 1"

@@ -93,3 +93,30 @@ def test_run_config_row_level_and_snapshot_ops(spark, tmp_path, tokens_df):
     assert t2.scan().count() == n0
     assert t2.table_digest() == d0
     assert t2.refs()["tags"]["pre-maintenance"]["snapshot_id"] == tagged_snapshot
+
+
+def test_run_config_view_ops_and_mapped_replication(spark, tmp_path, tokens_df):
+    """create_view -> replicate with table_mappings -> drop_view in one
+    config: views land on the replica with their text rewritten."""
+    src_root = str(tmp_path / "vsrc")
+    rep_root = str(tmp_path / "vrep")
+    t = TokenTable.create(spark, src_root)
+    t.append(tokens_df.limit(300), num_files=2)
+
+    cfg = {
+        "jobs": [
+            {"op": "create_view", "table": src_root, "name": "big",
+             "sql": "SELECT t.doc_id FROM prod.tok AS t WHERE t.n_tok > 64"},
+            {"op": "replicate", "source": src_root, "replica": rep_root,
+             "mode": "full",
+             "table_mappings": {"prod.tok": "replica.tok"}},
+            {"op": "drop_view", "table": src_root, "name": "big"},
+        ]
+    }
+    report = run_config(spark, cfg)
+    assert report.ok
+    rep = TokenTable.load(spark, rep_root)
+    assert rep.views() == {
+        "big": "SELECT t.doc_id FROM replica.tok AS t WHERE t.n_tok > 64"
+    }
+    assert TokenTable.load(spark, src_root).views() == {}
