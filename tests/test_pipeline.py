@@ -185,6 +185,9 @@ def test_embedding_near_dup_pairs_planted(spark, embs):
     got = {(p["id_a"], p["id_b"]) for p in pairs.collect()}
     expected = {(r["vec_id"], r["vec_id"] + 10_000) for r in embs.limit(3).collect()}
     assert expected <= got
+    # candidate generation is a bucket equi-join, never all-pairs
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
 
 # -------------------------------------------------------------- multimodal
