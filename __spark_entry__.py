@@ -1864,6 +1864,33 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(e, threshold=0.4, n_planes=4, seed=42)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table: IVF-list
+    assignment (arithmetic centroid pick so the DuckDB oracle replicates
+    the codebook verbatim), within-list exact-cosine pairing, drop every
+    vector pairing at >= threshold with a lower-id list-mate. Returns the
+    keep-set (vec_id, list_id) — the oracle recomputes assignment,
+    pairing, and election end-to-end. Gate threshold 0.4 (the synthetic
+    table has no planted twins); production 0.95+ is the same code path,
+    pinned by the planted-twin pytest."""
+    from circus_train_spark.pipeline.similarity import semantic_dedup
+
+    e = _read(spark, sf_dir, "embeddings")
+    n = e.count()
+    stride = max(1, n // 8)
+    cents = (
+        e.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [(int(r["vec_id"]), list(r["embedding"])) for r in cents]
+    return semantic_dedup(
+        e, threshold=0.4, centroids=centroids, list_col="list_id"
+    ).select("vec_id", F.col("list_id").cast("long").alias("list_id"))
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN with an arithmetic centroid pick (every (N/8)-th id) so
     the full pipeline — codebook, assignment, probe, rescore — is replicated
@@ -2236,6 +2263,34 @@ def _near_dup_oracle_sql(
                     (sqrt(list_dot_product(a.v, a.v)) *
                      sqrt(list_dot_product(bb.v, bb.v))), 8) >= {threshold}
     """
+
+
+_SEMANTIC_DEDUP_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM e),
+    cents AS (
+      SELECT vec_id AS list_id, v AS cent FROM e, nn
+      WHERE vec_id % greatest(1, n // 8) = 0
+      ORDER BY vec_id LIMIT 8),
+    assign AS (
+      SELECT e.vec_id, e.v, c.list_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_dot_product(e.v, c.cent) /
+                         (sqrt(list_dot_product(e.v, e.v)) *
+                          sqrt(list_dot_product(c.cent, c.cent))), 8) DESC,
+                        c.list_id DESC) AS rn
+      FROM e CROSS JOIN cents c),
+    al AS (SELECT vec_id, v, list_id FROM assign WHERE rn = 1),
+    drops AS (
+      SELECT DISTINCT b.vec_id FROM al a JOIN al b
+      ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) *
+                   sqrt(list_dot_product(b.v, b.v))), 8) >= 0.4)
+    SELECT vec_id, list_id FROM al
+    WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+"""
 
 
 _IVF_SQL = """
@@ -2655,9 +2710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 dict entries, so each round the least-recently-gated
     # queries lead. Round-5 window: (a) the nine queries that had never had
     # a driver row through round 4, (b) the sixteen last gated in round 3,
-    # (c) this round's two new queries, (d) the core table-maintenance rows.
-    # The 27 parked entries at the back all have green round-4 driver rows,
-    # so the all-rounds union covers the full registry.
+    # (c) this round's three new queries, (d) the core table-maintenance
+    # rows. The 28 parked entries at the back all have green round-4 driver
+    # rows, so the all-rounds union covers the full registry.
     return {
         # (a) never driver-gated before round 5
         "bigram_logprob": q_bigram_logprob,
@@ -2689,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (c) new in round 5
         "tml_delete_pos_scan": q_tml_delete_pos_scan,
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         # (d) token-table maintenance core (SURVEY §2, oracle = derived scan)
         "tml_append_scan": q_tml_append_scan,
         "tml_compact_scan": q_tml_compact_scan,
@@ -2713,8 +2769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_filter_scan": q_dynamic_filter_scan,
         # diff + replication (the reference's core pipeline)
         "table_diff": q_table_diff,
-        "table_replicate_scan": q_table_replicate_scan,
         # ---- position 51+: parked this round, ALL green in round 4 ----
+        "table_replicate_scan": q_table_replicate_scan,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         # analytics
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -3059,6 +3115,7 @@ def oracle_sql() -> dict[str, str]:
         % (_TEXT_QUALITY_SQL, _LANG_ID_SQL, _REPETITION_SQL),
         "ann_topk": _ann_oracle_sql(),
         "embedding_near_dup": _near_dup_oracle_sql(),
+        "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "ivf_topk": _IVF_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         # xxhash64-based queries: DuckDB has no Spark-compatible xxhash64,

@@ -294,3 +294,63 @@ def ivf_topk(
         .orderBy(F.desc("sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    list_col: str | None = None,
+    max_list: int = 50_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    each vector to its nearest coarse centroid (the IVF list, exactly the
+    ``ivf_topk`` assignment — round-8 cosine, higher-list-id tiebreak),
+    compare vectors only WITHIN a list by exact cosine, and drop every
+    vector that pairs at >= ``threshold`` with a lower-id list-mate (the
+    deterministic keep-lowest-id election). Returns the surviving rows
+    with their original columns (plus the assignment under ``list_col``
+    when requested).
+
+    Scale posture: the quadratic step is per-list, so the codebook size is
+    the knob — n_lists ∝ N / target_list_size keeps each list's pair count
+    bounded; lists above ``max_list`` vectors are passed through unpaired
+    (never exploded), the same guardrail as ``embedding_near_dup_pairs``.
+    The centroid codebook is driver-sized by construction (same contract
+    as ``ivf_topk``/``kmeans_centroids``)."""
+    if centroids is None:
+        centroids = sampled_centroids(embeddings, n_lists, id_col, vec_col)
+    assign = F.array(
+        *[
+            F.struct(
+                F.round(cosine(F.col(vec_col), _lit_array(c)), 8).alias("s"),
+                F.lit(lid).alias("lid"),
+            )
+            for lid, c in centroids
+        ]
+    )
+    assigned = embeddings.withColumn("_sd_list", F.array_max(assign)["lid"])
+    sized = assigned.withColumn(
+        "_sd_n", F.count(F.lit(1)).over(Window.partitionBy("_sd_list"))
+    )
+    small = sized.filter(F.col("_sd_n") <= max_list)
+    a = small.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "_sd_list"
+    )
+    b = small.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), "_sd_list"
+    )
+    drops = (
+        a.join(b, "_sd_list")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 8) >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    kept = assigned.join(drops, id_col, "left_anti").drop("_sd_n")
+    if list_col:
+        return kept.withColumnRenamed("_sd_list", list_col)
+    return kept.drop("_sd_list")

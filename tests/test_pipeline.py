@@ -190,6 +190,21 @@ def test_embedding_near_dup_pairs_planted(spark, embs):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
 
+def test_semantic_dedup_drops_planted_twins(spark, embs):
+    """SemDeDup election: each planted twin (cosine 1.0 with its original,
+    so same nearest centroid) is dropped; every original survives."""
+    twin = embs.limit(5).withColumn("vec_id", F.col("vec_id") + 10_000)
+    both = embs.unionByName(twin)
+    kept = similarity.semantic_dedup(both, threshold=0.999, n_lists=4)
+    ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    originals = {r["vec_id"] for r in embs.select("vec_id").collect()}
+    assert ids == originals  # twins (higher ids) gone, originals intact
+    assert set(kept.columns) == set(both.columns)  # schema passthrough
+    # within-list pairing is a list-id equi-join, never all-pairs
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
 # -------------------------------------------------------------- multimodal
 def test_multimodal_feature_extraction(spark):
     media = multimodal.generate_fake_media(spark, n=30)
