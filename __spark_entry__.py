@@ -1308,6 +1308,31 @@ FROM aug
 """
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: every document gets its (shard, pos)
+    training-order slot from md5(doc_id:seed) alone — reproducible at any
+    parallelism or file layout; the oracle replays the identical md5/
+    hex-prefix/row_number arithmetic in DuckDB."""
+    from circus_train_spark.pipeline.sampling import epoch_shuffle
+
+    docs = _read(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, seed=42, n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+_EPOCH_SHUFFLE_SQL = """
+    WITH h AS (SELECT doc_id, md5(doc_id || ':42') AS hh FROM documents),
+    s AS (SELECT doc_id, hh,
+                 CAST(concat('0x', substr(hh, 1, 8)) AS BIGINT) % 8 AS shard
+          FROM h)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+                - 1 AS BIGINT) AS pos
+    FROM s
+"""
+
+
 def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted data-mixture sampling: each source keeps a deterministic
     per-source rate via content-keyed arithmetic hashing — reproducible
@@ -2710,8 +2735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 dict entries, so each round the least-recently-gated
     # queries lead. Round-5 window: (a) the nine queries that had never had
     # a driver row through round 4, (b) the sixteen last gated in round 3,
-    # (c) this round's three new queries, (d) the core table-maintenance
-    # rows. The 28 parked entries at the back all have green round-4 driver
+    # (c) this round's four new queries, (d) the core table-maintenance
+    # rows. The 29 parked entries at the back all have green round-4 driver
     # rows, so the all-rounds union covers the full registry.
     return {
         # (a) never driver-gated before round 5
@@ -2745,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tml_delete_pos_scan": q_tml_delete_pos_scan,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
+        "epoch_shuffle": q_epoch_shuffle,
         # (d) token-table maintenance core (SURVEY §2, oracle = derived scan)
         "tml_append_scan": q_tml_append_scan,
         "tml_compact_scan": q_tml_compact_scan,
@@ -2768,8 +2794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tml_update_mor_scan": q_tml_update_mor_scan,
         "dynamic_filter_scan": q_dynamic_filter_scan,
         # diff + replication (the reference's core pipeline)
-        "table_diff": q_table_diff,
         # ---- position 51+: parked this round, ALL green in round 4 ----
+        "table_diff": q_table_diff,
         "table_replicate_scan": q_table_replicate_scan,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         # analytics
@@ -3116,6 +3142,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ann_oracle_sql(),
         "embedding_near_dup": _near_dup_oracle_sql(),
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "epoch_shuffle": _EPOCH_SHUFFLE_SQL,
         "ivf_topk": _IVF_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         # xxhash64-based queries: DuckDB has no Spark-compatible xxhash64,

@@ -114,3 +114,36 @@ def temperature_mixture(
         source_col=source_col,
         salt=salt,
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    seed: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic training-order assignment for one epoch: every row
+    gets a ``(shard, pos)`` — the shard it streams from and its position
+    within that shard — derived purely from ``md5(id:seed)``. Reproducible
+    at any parallelism, partitioning, or file layout (no RNG state, no
+    ``rand()``); a new seed is a statistically independent new order.
+    md5 rather than xxhash64 so any engine can replay the exact order
+    (the DuckDB oracle runs the identical arithmetic).
+
+    Scale: one scan-local hash, then exactly one shuffle — rows hash-
+    partition by shard and sort by (hash, id) inside each, which is the
+    minimum work any global-order materialization pays. ``n_shards``
+    bounds per-reducer volume (shards ≈ bytes / shard-target), and the
+    within-shard sort spills; nothing is driver-sized.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    shard = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    out = df.withColumn("_es_h", h).withColumn(shard_col, shard)
+    w = Window.partitionBy(shard_col).orderBy("_es_h", id_col)
+    return out.withColumn(
+        pos_col, (F.row_number().over(w) - 1).cast("long")
+    ).drop("_es_h")

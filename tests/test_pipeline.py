@@ -446,3 +446,30 @@ def test_lsh_candidate_pairs_releases_caches_by_default(spark, docs):
     assert sorted(map(tuple, pairs.collect())) == sorted(map(tuple, lazy.collect()))
     for c in caches:
         c.unpersist()
+
+
+def test_epoch_shuffle_deterministic_and_bijective(spark, docs):
+    """(shard, pos) depends only on (doc_id, seed): identical across
+    re-layouts, positions are a 0..n-1 bijection within each shard, and a
+    different seed yields a genuinely different order."""
+    from circus_train_spark.pipeline.sampling import epoch_shuffle
+
+    base = docs.limit(400)
+    a = epoch_shuffle(base, seed=42, n_shards=4).select("doc_id", "shard", "pos")
+    b = epoch_shuffle(base.repartition(13), seed=42, n_shards=4).select(
+        "doc_id", "shard", "pos"
+    )
+    rows_a = {(r["doc_id"], r["shard"], r["pos"]) for r in a.collect()}
+    rows_b = {(r["doc_id"], r["shard"], r["pos"]) for r in b.collect()}
+    assert rows_a == rows_b  # layout-independent
+    by_shard: dict[int, list[int]] = {}
+    for _, s, p in rows_a:
+        by_shard.setdefault(s, []).append(p)
+    assert sum(len(v) for v in by_shard.values()) == 400
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(len(ps)))  # dense 0..n-1 per shard
+    other = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in epoch_shuffle(base, seed=7, n_shards=4).collect()
+    }
+    assert other != rows_a  # a new seed is a new order
