@@ -1333,6 +1333,63 @@ _EPOCH_SHUFFLE_SQL = """
 """
 
 
+def q_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum mixture: exact quartile thresholds over the
+    proven quality score, then per-bucket deterministic keep rates
+    (0.1 / 0.3 / 0.6 / 1.0 low→high). The oracle recomputes quality,
+    quantile_cont thresholds, bucket CASE, and the multiplicative-hash
+    predicate end-to-end."""
+    from circus_train_spark.pipeline.sampling import curriculum_sample
+    from circus_train_spark.pipeline.text import quality_score
+
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "quality", F.round(quality_score(F.col("text")), 6)
+    )
+    kept = curriculum_sample(d, "quality", [0.1, 0.3, 0.6, 1.0])
+    return kept.select("doc_id", "bucket", "quality")
+
+
+_CURRICULUM_SQL = """
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text) AS n,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS total,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 x -> x IN ('the','and','of','to','in','is','that','it','was','for',
+                            'a','an','with','as','on','at','by'))) AS stops
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+             least(n / 500.0, 1.0) AS len_term,
+             1.0 - least((CASE WHEN n = 0 THEN 0.0
+                   ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                        / CAST(n AS DOUBLE) END) * 4, 1.0) AS punct_term,
+             1.0 - least((CASE WHEN n = 0 THEN 0.0
+                   ELSE length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                        / CAST(n AS DOUBLE) END) * 5, 1.0) AS upper_term,
+             least((CASE WHEN total = 0 THEN 0.0
+                    ELSE stops / CAST(total AS DOUBLE) END) * 3, 1.0) AS stop_term
+      FROM t),
+    q AS (
+      SELECT doc_id,
+             round((len_term + punct_term + upper_term + stop_term) / 4, 6) AS quality
+      FROM r),
+    thr AS (SELECT quantile_cont(quality, [0.25, 0.5, 0.75]) AS t FROM q),
+    b AS (
+      SELECT doc_id, quality,
+             CASE WHEN quality <= t[1] THEN 0
+                  WHEN quality <= t[2] THEN 1
+                  WHEN quality <= t[3] THEN 2
+                  ELSE 3 END AS bucket
+      FROM q, thr)
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, quality FROM b
+    WHERE (doc_id * 2654435761) % 10000 <
+          CASE bucket WHEN 0 THEN 1000 WHEN 1 THEN 3000
+                      WHEN 2 THEN 6000 ELSE 10000 END
+"""
+
+
 def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted data-mixture sampling: each source keeps a deterministic
     per-source rate via content-keyed arithmetic hashing — reproducible
@@ -2735,8 +2792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 dict entries, so each round the least-recently-gated
     # queries lead. Round-5 window: (a) the nine queries that had never had
     # a driver row through round 4, (b) the sixteen last gated in round 3,
-    # (c) this round's four new queries, (d) the core table-maintenance
-    # rows. The 29 parked entries at the back all have green round-4 driver
+    # (c) this round's five new queries, (d) the core table-maintenance
+    # rows. The 30 parked entries at the back all have green round-4 driver
     # rows, so the all-rounds union covers the full registry.
     return {
         # (a) never driver-gated before round 5
@@ -2771,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "epoch_shuffle": q_epoch_shuffle,
+        "curriculum_sample": q_curriculum_sample,
         # (d) token-table maintenance core (SURVEY §2, oracle = derived scan)
         "tml_append_scan": q_tml_append_scan,
         "tml_compact_scan": q_tml_compact_scan,
@@ -2792,9 +2850,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tml_delete_mor_scan": q_tml_delete_mor_scan,
         "tml_update_scan": q_tml_update_scan,
         "tml_update_mor_scan": q_tml_update_mor_scan,
+        # ---- position 51+: parked this round, ALL green in round 4 ----
         "dynamic_filter_scan": q_dynamic_filter_scan,
         # diff + replication (the reference's core pipeline)
-        # ---- position 51+: parked this round, ALL green in round 4 ----
         "table_diff": q_table_diff,
         "table_replicate_scan": q_table_replicate_scan,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -3143,6 +3201,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _near_dup_oracle_sql(),
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "epoch_shuffle": _EPOCH_SHUFFLE_SQL,
+        "curriculum_sample": _CURRICULUM_SQL,
         "ivf_topk": _IVF_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         # xxhash64-based queries: DuckDB has no Spark-compatible xxhash64,

@@ -147,3 +147,56 @@ def epoch_shuffle(
     return out.withColumn(
         pos_col, (F.row_number().over(w) - 1).cast("long")
     ).drop("_es_h")
+
+
+def curriculum_sample(
+    df: DataFrame,
+    score_col: str,
+    rates: list[float],
+    key_col: str = "doc_id",
+    salt: int = 0,
+    bucket_col: str = "bucket",
+    approx: bool = False,
+) -> DataFrame:
+    """Quality-curriculum mixture: split the corpus into ``len(rates)``
+    quantile buckets of ``score_col`` (bucket 0 = lowest scores) and keep
+    each bucket at its rate via the same content-keyed arithmetic hash as
+    ``deterministic_sample`` — e.g. ``rates=[0.1, 0.3, 0.6, 1.0]`` skews
+    the kept corpus toward high-quality documents while retaining a
+    deterministic, re-layout-stable low-quality tail.
+
+    Thresholds are the exact interpolated percentiles by default (one
+    distributed sort-based aggregate; the driver receives n-1 doubles),
+    bit-replicable by any engine's ``quantile_cont``. At very large scale
+    pass ``approx=True`` to use ``percentile_approx`` boundaries instead —
+    same downstream plan, sketch-sized aggregate, no global sort.
+
+    Everything after the threshold aggregate is scan-local column algebra:
+    bucket assignment is a CASE over literals and the keep predicate is
+    the pushed-down multiplicative-hash filter. No shuffle of data rows.
+    """
+    n = len(rates)
+    if n < 1 or not all(0.0 <= r <= 1.0 for r in rates):
+        raise ValueError("rates must be fractions in [0, 1]")
+    score = F.col(score_col)
+    if n == 1:
+        thresholds: list[float] = []
+    else:
+        ps = [i / n for i in range(1, n)]
+        fn = F.percentile_approx if approx else F.percentile
+        row = df.select(
+            fn(score, F.array(*[F.lit(p) for p in ps])).alias("t")
+        ).first()
+        thresholds = [float(t) for t in row["t"]]
+    bucket: Column = F.lit(n - 1)
+    for i in range(n - 2, -1, -1):
+        bucket = F.when(score <= F.lit(thresholds[i]), F.lit(i)).otherwise(bucket)
+    keep_cap: Column = F.lit(int(round(rates[-1] * _BUCKETS)))
+    for i in range(n - 2, -1, -1):
+        keep_cap = F.when(
+            score <= F.lit(thresholds[i]), F.lit(int(round(rates[i] * _BUCKETS)))
+        ).otherwise(keep_cap)
+    return (
+        df.withColumn(bucket_col, bucket.cast("long"))
+        .filter(sample_bucket(F.col(key_col), salt) < keep_cap)
+    )

@@ -473,3 +473,28 @@ def test_epoch_shuffle_deterministic_and_bijective(spark, docs):
         for r in epoch_shuffle(base, seed=7, n_shards=4).collect()
     }
     assert other != rows_a  # a new seed is a new order
+
+
+def test_curriculum_sample_buckets_and_rates(spark, docs):
+    """Quantile buckets are score-ordered, per-bucket keep rates are
+    roughly honored, and the keep-set is layout-independent."""
+    from circus_train_spark.pipeline.sampling import curriculum_sample
+    from circus_train_spark.pipeline.text import quality_score
+
+    d = docs.withColumn("q", F.round(quality_score(F.col("text")), 6))
+    kept = curriculum_sample(d, "q", [0.0, 0.25, 1.0], bucket_col="b")
+    rows = kept.select("doc_id", "b", "q").collect()
+    by_bucket: dict[int, list[float]] = {}
+    for r in rows:
+        by_bucket.setdefault(r["b"], []).append(r["q"])
+    assert 0 not in by_bucket  # rate 0.0: lowest tercile fully dropped
+    if 1 in by_bucket and 2 in by_bucket:
+        assert max(by_bucket[1]) <= min(by_bucket[2])  # score-ordered buckets
+    n = d.count()
+    assert len(by_bucket.get(2, [])) == pytest.approx(n / 3, rel=0.35)
+    assert len(by_bucket.get(1, [])) <= n / 3 * 0.45  # ~25% of a tercile
+    # layout-independence
+    again = curriculum_sample(d.repartition(17), "q", [0.0, 0.25, 1.0], bucket_col="b")
+    assert {(r["doc_id"], r["b"]) for r in again.select("doc_id", "b").collect()} == {
+        (r["doc_id"], r["b"]) for r in rows
+    }
