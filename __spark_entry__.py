@@ -1333,6 +1333,32 @@ _EPOCH_SHUFFLE_SQL = """
 """
 
 
+def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (200-char windows, 150-char stride): each
+    document becomes ceil((len-200)/150)+1 overlapping chunks, short docs
+    one chunk — scan-local sequence/explode/substring, no shuffle. The
+    oracle replays the identical arithmetic and substr windows."""
+    from circus_train_spark.pipeline.text import chunk_text
+
+    d = _read(spark, sf_dir, "documents")
+    return chunk_text(d, window=200, stride=150)
+
+
+_CHUNK_TEXT_SQL = """
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    c AS (SELECT doc_id, text,
+           CASE WHEN n <= 200 THEN 1
+                ELSE CAST(ceil((n - 200) / 150.0) AS INT) + 1 END AS n_chunks
+          FROM d),
+    u AS (SELECT doc_id, text,
+                 unnest(generate_series(0, n_chunks - 1)) AS i
+          FROM c)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk
+    FROM u
+"""
+
+
 def q_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-curriculum mixture: exact quartile thresholds over the
     proven quality score, then per-bucket deterministic keep rates
@@ -2792,8 +2818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 dict entries, so each round the least-recently-gated
     # queries lead. Round-5 window: (a) the nine queries that had never had
     # a driver row through round 4, (b) the sixteen last gated in round 3,
-    # (c) this round's five new queries, (d) the core table-maintenance
-    # rows. The 30 parked entries at the back all have green round-4 driver
+    # (c) this round's six new queries, (d) the core table-maintenance
+    # rows. The 31 parked entries at the back all have green round-4 driver
     # rows, so the all-rounds union covers the full registry.
     return {
         # (a) never driver-gated before round 5
@@ -2829,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "epoch_shuffle": q_epoch_shuffle,
         "curriculum_sample": q_curriculum_sample,
+        "chunk_text": q_chunk_text,
         # (d) token-table maintenance core (SURVEY §2, oracle = derived scan)
         "tml_append_scan": q_tml_append_scan,
         "tml_compact_scan": q_tml_compact_scan,
@@ -2849,8 +2876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tml_delete_scan": q_tml_delete_scan,
         "tml_delete_mor_scan": q_tml_delete_mor_scan,
         "tml_update_scan": q_tml_update_scan,
-        "tml_update_mor_scan": q_tml_update_mor_scan,
         # ---- position 51+: parked this round, ALL green in round 4 ----
+        "tml_update_mor_scan": q_tml_update_mor_scan,
         "dynamic_filter_scan": q_dynamic_filter_scan,
         # diff + replication (the reference's core pipeline)
         "table_diff": q_table_diff,
@@ -3202,6 +3229,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "epoch_shuffle": _EPOCH_SHUFFLE_SQL,
         "curriculum_sample": _CURRICULUM_SQL,
+        "chunk_text": _CHUNK_TEXT_SQL,
         "ivf_topk": _IVF_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         # xxhash64-based queries: DuckDB has no Spark-compatible xxhash64,

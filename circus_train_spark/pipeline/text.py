@@ -367,3 +367,53 @@ def filter_corpus(
         )
         kept = kept.drop("top_word_n", "n_words")
     return kept
+
+
+def chunk_text(
+    documents: DataFrame,
+    window: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: split each document into fixed-size
+    (optionally overlapping) character windows — the standard preprocessing
+    step that turns long documents into model-context-sized training
+    examples. Chunk ``i`` covers characters ``[i*stride, i*stride+window)``;
+    the count is ``ceil((len - window) / stride) + 1`` (always >= 1, so
+    short and empty documents emit exactly one chunk and nothing is
+    silently dropped; the final chunk may be shorter than ``window``).
+
+    Output: (id, chunk_idx, chunk) — one row per window.
+
+    Scale: pure scan-local column algebra (``sequence`` + ``explode`` +
+    ``substring``, all JVM-side); no shuffle, no Python. Output rows
+    explode ~len/stride per document, the same amplification any chunker
+    pays; a downstream writer re-bins by size as usual.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    stride = window if stride is None else stride
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    t = F.col(text_col)
+    n = F.length(t)
+    n_chunks = F.when(
+        n <= window, F.lit(1)
+    ).otherwise(F.ceil((n - F.lit(window)) / F.lit(stride)) + 1).cast("int")
+    return (
+        documents.select(
+            F.col(id_col),
+            t.alias("_ct_text"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.substring(
+                F.col("_ct_text"),
+                (F.col("chunk_idx") * stride + 1).cast("int"),
+                window,
+            ).alias("chunk"),
+        )
+    )

@@ -498,3 +498,30 @@ def test_curriculum_sample_buckets_and_rates(spark, docs):
     assert {(r["doc_id"], r["b"]) for r in again.select("doc_id", "b").collect()} == {
         (r["doc_id"], r["b"]) for r in rows
     }
+
+
+def test_chunk_text_reconstruction_and_edges(spark):
+    """Non-overlapping chunks concatenate back to the original text;
+    overlapping chunks share exactly window-stride characters; short and
+    empty documents emit exactly one chunk."""
+    from circus_train_spark.pipeline.text import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, "")],
+        "doc_id long, text string",
+    )
+    # stride == window: exact partition, lossless reconstruction
+    rows = chunk_text(df, window=4).orderBy("doc_id", "chunk_idx").collect()
+    by_doc: dict[int, list[str]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk"])
+    assert "".join(by_doc[1]) == "abcdefghij" and len(by_doc[1]) == 3
+    assert by_doc[2] == ["xy"] and by_doc[3] == [""]
+    # overlap: consecutive chunks share window - stride characters
+    ov = chunk_text(df.filter("doc_id = 1"), window=4, stride=2).orderBy(
+        "chunk_idx"
+    ).collect()
+    chunks = [r["chunk"] for r in ov]
+    assert chunks == ["abcd", "cdef", "efgh", "ghij"]
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[2:] == b[:2]
