@@ -1333,6 +1333,56 @@ _EPOCH_SHUFFLE_SQL = """
 """
 
 
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (max_len 64, stride 48) over the
+    deterministic token table; each chunk summarized as (len, first,
+    last, sum) so exact slice boundaries and contents are verified
+    without hashing whole arrays through the compare. Oracle recomputes
+    every window arithmetically from the token formula."""
+    from circus_train_spark.pipeline.tokens import chunk_token_windows
+
+    t = tokenized_documents(spark, sf_dir)
+    w = chunk_token_windows(t, max_len=64, stride=48)
+    c = F.col("chunk_tokens")
+    return w.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(c).cast("long").alias("chunk_len"),
+        F.element_at(c, 1).cast("long").alias("tok_first"),
+        F.element_at(c, -1).cast("long").alias("tok_last"),
+        F.aggregate(
+            c, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("tok_sum"),
+    )
+
+
+_CHUNK_TOKENS_SQL = """
+    WITH t AS (SELECT doc_id, (n_chars % 121) + 8 AS n_tok FROM documents),
+    c AS (SELECT doc_id, n_tok,
+           CASE WHEN n_tok <= 64 THEN 1
+                ELSE CAST(ceil((n_tok - 64) / 48.0) AS INT) + 1 END AS n_chunks
+          FROM t),
+    u AS (SELECT doc_id, n_tok,
+                 unnest(generate_series(0, n_chunks - 1)) AS i
+          FROM c),
+    b AS (SELECT doc_id, i,
+                 i * 48 + 1 AS a,
+                 least(i * 48 + 64, n_tok) AS z
+          FROM u)
+    SELECT printf('doc-%08d', doc_id) AS doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(z - a + 1 AS BIGINT) AS chunk_len,
+           CAST((doc_id * 2654435761 + a * 2246822519) % 50257 AS BIGINT)
+             AS tok_first,
+           CAST((doc_id * 2654435761 + z * 2246822519) % 50257 AS BIGINT)
+             AS tok_last,
+           CAST(list_sum([ (doc_id * 2654435761 + j * 2246822519) % 50257
+                           for j in generate_series(a, z) ]) AS BIGINT)
+             AS tok_sum
+    FROM b
+"""
+
+
 def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (200-char windows, 150-char stride): each
     document becomes ceil((len-200)/150)+1 overlapping chunks, short docs
@@ -2818,8 +2868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 dict entries, so each round the least-recently-gated
     # queries lead. Round-5 window: (a) the nine queries that had never had
     # a driver row through round 4, (b) the sixteen last gated in round 3,
-    # (c) this round's six new queries, (d) the core table-maintenance
-    # rows. The 31 parked entries at the back all have green round-4 driver
+    # (c) this round's seven new queries, (d) the core table-maintenance
+    # rows. The 32 parked entries at the back all have green round-4 driver
     # rows, so the all-rounds union covers the full registry.
     return {
         # (a) never driver-gated before round 5
@@ -2856,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "curriculum_sample": q_curriculum_sample,
         "chunk_text": q_chunk_text,
+        "chunk_tokens": q_chunk_tokens,
         # (d) token-table maintenance core (SURVEY §2, oracle = derived scan)
         "tml_append_scan": q_tml_append_scan,
         "tml_compact_scan": q_tml_compact_scan,
@@ -2875,8 +2926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tml_branch_scan": q_tml_branch_scan,
         "tml_delete_scan": q_tml_delete_scan,
         "tml_delete_mor_scan": q_tml_delete_mor_scan,
-        "tml_update_scan": q_tml_update_scan,
         # ---- position 51+: parked this round, ALL green in round 4 ----
+        "tml_update_scan": q_tml_update_scan,
         "tml_update_mor_scan": q_tml_update_mor_scan,
         "dynamic_filter_scan": q_dynamic_filter_scan,
         # diff + replication (the reference's core pipeline)
@@ -3230,6 +3281,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": _EPOCH_SHUFFLE_SQL,
         "curriculum_sample": _CURRICULUM_SQL,
         "chunk_text": _CHUNK_TEXT_SQL,
+        "chunk_tokens": _CHUNK_TOKENS_SQL,
         "ivf_topk": _IVF_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         # xxhash64-based queries: DuckDB has no Spark-compatible xxhash64,

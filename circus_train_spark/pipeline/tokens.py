@@ -494,3 +494,50 @@ def bigram_logprob_score(
             F.round(F.avg(logp), 4).alias("avg_logprob"),
         )
     )
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    max_len: int,
+    stride: int | None = None,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking for long-document LM training: each
+    document's token array becomes fixed-size (optionally overlapping)
+    windows — chunk ``i`` is ``tokens[i*stride : i*stride + max_len]``,
+    count ``ceil((n - max_len) / stride) + 1`` (>= 1, so short docs emit
+    one whole-array chunk; the final window may be shorter). The
+    overlapping form (stride < max_len) is the standard long-context
+    recipe that gives every token a left context of at least
+    ``max_len - stride``.
+
+    Output: (id, chunk_idx, chunk_tokens).
+
+    Scale: scan-local ``sequence``/``explode``/``slice`` column algebra —
+    no shuffle, no Python; output amplification is the inherent
+    ~n/stride per document. Complements ``chunk_manifest``/
+    ``assemble_chunks`` (which PACK many short docs into full chunks);
+    this op SPLITS long docs into model-context windows.
+    """
+    if max_len < 1:
+        raise ValueError("max_len must be >= 1")
+    stride = max_len if stride is None else stride
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    n_chunks = F.when(n <= max_len, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(max_len)) / F.lit(stride)) + 1
+    ).cast("int")
+    return df.select(
+        F.col(id_col),
+        toks.alias("_cw_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.slice(
+            F.col("_cw_toks"), F.col("chunk_idx") * stride + 1, max_len
+        ).alias("chunk_tokens"),
+    )

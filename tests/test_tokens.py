@@ -276,3 +276,28 @@ def test_train_bpe_parquet_checkpoint_equals_local(spark, tmp_path):
 
     gens = [d for d in os.listdir(tmp_path / "ck") if d.startswith("bpe-ckpt-")]
     assert len(gens) == 1
+
+
+def test_chunk_token_windows_slices_and_edges(spark):
+    """Window slices are exact, overlap is shared, short arrays emit one
+    whole-array chunk, and stride==max_len reconstructs losslessly."""
+    from circus_train_spark.pipeline.tokens import chunk_token_windows
+
+    df = spark.createDataFrame(
+        [("a", list(range(10))), ("b", [7, 8]), ("c", [])],
+        "doc_id string, tokens array<int>",
+    )
+    out = chunk_token_windows(df, max_len=4, stride=3).orderBy(
+        "doc_id", "chunk_idx"
+    ).collect()
+    by_doc: dict[str, list[list[int]]] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(list(r["chunk_tokens"]))
+    assert by_doc["a"] == [[0, 1, 2, 3], [3, 4, 5, 6], [6, 7, 8, 9]]
+    assert by_doc["b"] == [[7, 8]] and by_doc["c"] == [[]]
+    # exact partition at stride == max_len: concatenation is lossless
+    part = chunk_token_windows(df.filter("doc_id = 'a'"), max_len=4).orderBy(
+        "chunk_idx"
+    ).collect()
+    flat = [t for r in part for t in r["chunk_tokens"]]
+    assert flat == list(range(10))
